@@ -1,0 +1,104 @@
+"""Flax building blocks shared by the GE2E encoder and the synthesizer.
+
+Thin linen wrappers over the TPU primitives in ``ops/`` plus the conv/prenet
+blocks from the reference architecture (SURVEY.md section 2: encoder convs,
+prenet, postnet convs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multi_speaker_tts_tpu.ops import lstm as lstm_ops
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class LSTM(nn.Module):
+    """Single-layer LSTM over (B, T, D) -> (B, T, H); torch gate order."""
+
+    hidden_size: int
+    reverse: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h0=None, c0=None, return_state: bool = False):
+        D, H = x.shape[-1], self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+        params = lstm_ops.LSTMParams(
+            w_ih=self.param("w_ih", _uniform_init(bound), (D, 4 * H)),
+            w_hh=self.param("w_hh", _uniform_init(bound), (H, 4 * H)),
+            b=self.param("b", _uniform_init(bound), (4 * H,)),
+        )
+        ys, state = lstm_ops.lstm(
+            params, x, h0, c0, reverse=self.reverse, compute_dtype=self.compute_dtype
+        )
+        return (ys, state) if return_state else ys
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM: (B, T, D) -> (B, T, 2 * (hidden_size // 2))."""
+
+    hidden_size: int  # total output size; each direction gets half
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.hidden_size // 2
+        y_f = LSTM(half, compute_dtype=self.compute_dtype, name="forward")(x)
+        y_b = LSTM(half, reverse=True, compute_dtype=self.compute_dtype, name="backward")(x)
+        return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+class ConvBNBlock(nn.Module):
+    """Conv1d (SAME) + BatchNorm + activation + dropout, Taco2-style."""
+
+    channels: int
+    kernel_size: int
+    activation: str = "relu"  # 'relu' | 'tanh' | 'none'
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # x: (B, T, C)
+        x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class Prenet(nn.Module):
+    """2x (Dense -> ReLU -> Dropout); dropout stays ON at inference
+    (Taco2 section 2.2; SURVEY.md section 2 "Decoder")."""
+
+    sizes: Sequence[int]
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        for i, size in enumerate(self.sizes):
+            x = nn.relu(nn.Dense(size, name=f"dense_{i}")(x))
+            # Always stochastic: deterministic=False even in eval - this is
+            # the Tacotron 2 trick that keeps AR decoding stable.
+            x = nn.Dropout(self.dropout_rate, deterministic=False)(
+                x, rng=self.make_rng("prenet")
+            )
+        return x
+
+
+class ZoneoutLSTMState(nn.Module):
+    pass  # placeholder for potential zoneout variant (not in reference)

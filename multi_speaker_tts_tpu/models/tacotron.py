@@ -1,0 +1,420 @@
+"""Tacotron-style synthesizer (SURVEY.md section 2: encoder / prenet /
+attention / decoder / postnet; Taco2 arXiv:1712.05884; SV2TTS conditioning
+arXiv:1806.04558).
+
+TPU-first structure (BASELINE.json:5):
+
+- The autoregressive decoder is ONE ``nn.scan`` over frames with a static
+  max length; teacher-forced training and AR inference share the same cell
+  (same params), differing only in where the cell reads its previous frame
+  (SURVEY.md section 7 "Hard parts" #1). No per-frame Python loop.
+- Stop-token masking happens outside the scan: the scan always runs to the
+  padded/static length and trailing frames are masked, keeping shapes static
+  for XLA.
+- Speaker conditioning is SV2TTS-style broadcast-concatenation of a fixed
+  speaker embedding onto the encoder memory.
+- Attention energies/weights stay float32 even in mixed precision.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multi_speaker_tts_tpu.models.attention import (
+    AttentionState,
+    LocationSensitiveAttention,
+    init_attention_state,
+)
+from multi_speaker_tts_tpu.models.layers import BiLSTM, ConvBNBlock, Prenet
+from multi_speaker_tts_tpu.ops import lstm as lstm_ops
+from multi_speaker_tts_tpu.text import symbols
+
+
+class LSTMCell(nn.Module):
+    """Single-step LSTM cell (torch gate order), for use inside the scan."""
+
+    hidden_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        D, H = x.shape[-1], self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        params = lstm_ops.LSTMParams(
+            w_ih=self.param("w_ih", init, (D, 4 * H)),
+            w_hh=self.param("w_hh", init, (H, 4 * H)),
+            b=self.param("b", init, (4 * H,)),
+        )
+        gx = (
+            jnp.dot(
+                x.astype(self.compute_dtype),
+                params.w_ih.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + params.b
+        )
+        return lstm_ops.lstm_cell_step(params, gx, h, c, self.compute_dtype)
+
+
+class TextEncoder(nn.Module):
+    """Char embedding -> conv stack -> BiLSTM (SURVEY.md "Synthesizer encoder")."""
+
+    embedding_size: int = 512
+    conv_stacks: int = 3
+    conv_channels: int = 512
+    conv_kernel_size: int = 5
+    conv_dropout: float = 0.5
+    lstm_size: int = 512
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Embed(len(symbols), self.embedding_size, name="embedding")(tokens)
+        for i in range(self.conv_stacks):
+            x = ConvBNBlock(
+                self.conv_channels,
+                self.conv_kernel_size,
+                dropout_rate=self.conv_dropout,
+                name=f"conv_{i}",
+            )(x, train=train)
+        return BiLSTM(self.lstm_size, compute_dtype=self.compute_dtype, name="bilstm")(x)
+
+
+class DecoderCarry(NamedTuple):
+    lstm_h: tuple  # per-layer hidden states (B, H)
+    lstm_c: tuple  # per-layer cell states (B, H)
+    attention: AttentionState
+    context: jax.Array  # (B, D_mem)
+    prev_frame: jax.Array  # (B, mel_dim) last emitted sub-frame
+
+
+class DecoderCell(nn.Module):
+    """One decoder step: prenet -> attention RNN -> LSA -> decoder RNN(s)
+    -> frame + stop projections. Scanned over frames by ``Decoder``."""
+
+    mel_dim: int
+    prenet_sizes: tuple
+    prenet_dropout: float
+    attention_size: int
+    attention_conv_channels: int
+    attention_conv_kernel: int
+    lstm_size: int
+    lstm_stacks: int
+    n_frames_per_step: int
+    teacher_forcing: bool
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        carry: DecoderCarry,
+        teacher_frame: jax.Array,  # (B, mel_dim); ignored when not teacher_forcing
+        keys: jax.Array,  # (B, S, A)
+        memory: jax.Array,  # (B, S, D_mem)
+        memory_mask: jax.Array,  # (B, S)
+    ):
+        frame_in = teacher_frame if self.teacher_forcing else carry.prev_frame
+        pre = Prenet(self.prenet_sizes, self.prenet_dropout, name="prenet")(frame_in)
+
+        hs, cs = list(carry.lstm_h), list(carry.lstm_c)
+
+        # Attention RNN (layer 0).
+        attn_in = jnp.concatenate([pre, carry.context], axis=-1)
+        hs[0], cs[0] = LSTMCell(
+            self.lstm_size, self.compute_dtype, name="lstm_0"
+        )(attn_in, hs[0], cs[0])
+
+        context, attn_state = LocationSensitiveAttention(
+            self.attention_size,
+            self.attention_conv_channels,
+            self.attention_conv_kernel,
+            name="attention",
+        )(hs[0], keys, memory, carry.attention, memory_mask)
+
+        # Decoder RNN stack (layers 1..n-1).
+        x = jnp.concatenate([hs[0], context], axis=-1)
+        for i in range(1, self.lstm_stacks):
+            hs[i], cs[i] = LSTMCell(
+                self.lstm_size, self.compute_dtype, name=f"lstm_{i}"
+            )(x, hs[i], cs[i])
+            x = jnp.concatenate([hs[i], context], axis=-1)
+
+        frames = nn.Dense(self.mel_dim * self.n_frames_per_step, name="frame_proj")(x)
+        stop_logit = nn.Dense(1, name="stop_proj")(x)[..., 0]  # (B,)
+
+        new_carry = DecoderCarry(
+            lstm_h=tuple(hs),
+            lstm_c=tuple(cs),
+            attention=attn_state,
+            context=context,
+            prev_frame=frames[..., -self.mel_dim :],
+        )
+        return new_carry, (frames, stop_logit, attn_state.weights)
+
+
+class Decoder(nn.Module):
+    """Frame-level scan around DecoderCell; owns the memory-key projection."""
+
+    mel_dim: int
+    prenet_sizes: tuple
+    prenet_dropout: float
+    attention_size: int
+    attention_conv_channels: int
+    attention_conv_kernel: int
+    lstm_size: int
+    lstm_stacks: int
+    n_frames_per_step: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _initial_carry(self, batch: int, memory: jax.Array) -> DecoderCarry:
+        H = self.lstm_size
+        zeros = lambda: jnp.zeros((batch, H), jnp.float32)  # noqa: E731
+        return DecoderCarry(
+            lstm_h=tuple(zeros() for _ in range(self.lstm_stacks)),
+            lstm_c=tuple(zeros() for _ in range(self.lstm_stacks)),
+            attention=init_attention_state(batch, memory.shape[1]),
+            context=jnp.zeros((batch, memory.shape[-1]), jnp.float32),
+            prev_frame=jnp.zeros((batch, self.mel_dim), jnp.float32),
+        )
+
+    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory, memory_mask):
+        cell = nn.scan(
+            DecoderCell,
+            variable_broadcast="params",
+            split_rngs={"params": False, "prenet": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )(
+            mel_dim=self.mel_dim,
+            prenet_sizes=self.prenet_sizes,
+            prenet_dropout=self.prenet_dropout,
+            attention_size=self.attention_size,
+            attention_conv_channels=self.attention_conv_channels,
+            attention_conv_kernel=self.attention_conv_kernel,
+            lstm_size=self.lstm_size,
+            lstm_stacks=self.lstm_stacks,
+            n_frames_per_step=self.n_frames_per_step,
+            teacher_forcing=teacher_forcing,
+            compute_dtype=self.compute_dtype,
+            name="cell",
+        )
+        return cell(carry, inputs, keys, memory, memory_mask)
+
+    @nn.compact
+    def __call__(  # noqa: D401
+        self,
+        memory: jax.Array,  # (B, S, D_mem) encoder outputs (+speaker)
+        memory_mask: jax.Array,  # (B, S)
+        teacher_mels: jax.Array | None = None,  # (B, T, mel) when teacher forcing
+        max_steps: int | None = None,  # decode steps when AR
+    ):
+        """Returns (mel_pre (B, T, mel), stop_logits (B, T_dec), align (B, T_dec, S))."""
+        B = memory.shape[0]
+        r = self.n_frames_per_step
+        keys = nn.Dense(self.attention_size, use_bias=False, name="memory_layer")(
+            memory.astype(jnp.float32)
+        )
+        carry = self._initial_carry(B, memory)
+
+        if teacher_mels is not None:
+            T = teacher_mels.shape[1]
+            assert T % r == 0, f"mel length {T} not divisible by r={r}"
+            n_steps = T // r
+            # Input to step t is the LAST frame of group t-1; GO frame at t=0.
+            group_last = teacher_mels[:, r - 1 :: r, :]  # (B, n_steps, mel)
+            inputs = jnp.concatenate(
+                [jnp.zeros((B, 1, self.mel_dim), teacher_mels.dtype), group_last[:, :-1]],
+                axis=1,
+            )
+            inputs = jnp.swapaxes(inputs, 0, 1)  # (n_steps, B, mel)
+            _, (frames, stops, aligns) = self._scan(
+                True, carry, inputs, keys, memory, memory_mask
+            )
+        else:
+            assert max_steps is not None
+            n_steps = max_steps // r
+            dummy = jnp.zeros((n_steps, B, self.mel_dim), jnp.float32)
+            _, (frames, stops, aligns) = self._scan(
+                False, carry, dummy, keys, memory, memory_mask
+            )
+
+        # (n_steps, B, mel*r) -> (B, n_steps*r, mel)
+        mel = jnp.swapaxes(frames, 0, 1).reshape(B, n_steps * r, self.mel_dim)
+        stops = jnp.swapaxes(stops, 0, 1)  # (B, n_steps)
+        aligns = jnp.swapaxes(aligns, 0, 1)  # (B, n_steps, S)
+        return mel, stops, aligns
+
+
+class Postnet(nn.Module):
+    """5x conv(tanh) residual mel refinement (SURVEY.md "Postnet")."""
+
+    mel_dim: int
+    conv_stacks: int = 5
+    conv_channels: int = 512
+    conv_kernel_size: int = 5
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
+        x = mel
+        for i in range(self.conv_stacks - 1):
+            x = ConvBNBlock(
+                self.conv_channels,
+                self.conv_kernel_size,
+                activation="tanh",
+                dropout_rate=self.dropout_rate,
+                name=f"conv_{i}",
+            )(x, train=train)
+        x = ConvBNBlock(
+            self.mel_dim,
+            self.conv_kernel_size,
+            activation="none",
+            dropout_rate=self.dropout_rate,
+            name=f"conv_{self.conv_stacks - 1}",
+        )(x, train=train)
+        return x  # residual; caller adds
+
+
+class Tacotron(nn.Module):
+    """Full synthesizer. Build with ``Tacotron.from_hp(hp)``."""
+
+    mel_dim: int = 80
+    encoder: dict = None
+    decoder: dict = None
+    postnet: dict = None
+    speaker_embedding_size: int = 0  # 0 = unconditioned (single speaker)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_hp(cls, hp, **overrides) -> "Tacotron":
+        compute_dtype = (
+            jnp.bfloat16 if hp.Train.Use_Mixed_Precision else jnp.float32
+        )
+        spk_size = 0
+        if hp.Speaker_Embedding.get("Type"):
+            spk_size = hp.Speaker_Embedding.Embedding_Size
+        kwargs = dict(
+            mel_dim=hp.Sound.Mel_Dim,
+            encoder=dict(
+                embedding_size=hp.Encoder.Embedding_Size,
+                conv_stacks=hp.Encoder.Conv.Stacks,
+                conv_channels=hp.Encoder.Conv.Channels,
+                conv_kernel_size=hp.Encoder.Conv.Kernel_Size,
+                conv_dropout=hp.Encoder.Conv.Dropout_Rate,
+                lstm_size=hp.Encoder.LSTM_Size,
+            ),
+            decoder=dict(
+                prenet_sizes=tuple(hp.Decoder.Prenet.Sizes),
+                prenet_dropout=hp.Decoder.Prenet.Dropout_Rate,
+                attention_size=hp.Decoder.Attention.Size,
+                attention_conv_channels=hp.Decoder.Attention.Conv.Channels,
+                attention_conv_kernel=hp.Decoder.Attention.Conv.Kernel_Size,
+                lstm_size=hp.Decoder.LSTM.Sizes,
+                lstm_stacks=hp.Decoder.LSTM.Stacks,
+                n_frames_per_step=hp.Decoder.get("N_Frames_Per_Step", 1),
+            ),
+            postnet=dict(
+                conv_stacks=hp.Postnet.Conv.Stacks,
+                conv_channels=hp.Postnet.Conv.Channels,
+                conv_kernel_size=hp.Postnet.Conv.Kernel_Size,
+                dropout_rate=hp.Postnet.Conv.Dropout_Rate,
+            ),
+            speaker_embedding_size=spk_size,
+            compute_dtype=compute_dtype,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def setup(self):
+        # Submodules are created once here so that the teacher-forced
+        # ``__call__`` and the AR ``infer`` share one parameter set.
+        self.text_encoder = TextEncoder(
+            **self.encoder, compute_dtype=self.compute_dtype, name="encoder"
+        )
+        self.frame_decoder = Decoder(
+            mel_dim=self.mel_dim,
+            **self.decoder,
+            compute_dtype=self.compute_dtype,
+            name="decoder",
+        )
+        self.mel_postnet = Postnet(
+            mel_dim=self.mel_dim, **self.postnet, name="postnet"
+        )
+
+    def _build_memory(self, tokens, token_lengths, speaker_embedding, train):
+        enc = self.text_encoder(tokens, train=train)
+        if self.speaker_embedding_size:
+            assert speaker_embedding is not None, "model is speaker-conditioned"
+            spk = jnp.broadcast_to(
+                speaker_embedding[:, None, :],
+                (*enc.shape[:2], self.speaker_embedding_size),
+            ).astype(enc.dtype)
+            enc = jnp.concatenate([enc, spk], axis=-1)
+        mask = (
+            jnp.arange(tokens.shape[1])[None, :] < token_lengths[:, None]
+        ).astype(jnp.float32)
+        return enc, mask
+
+    def __call__(
+        self,
+        tokens: jax.Array,  # (B, S) int32
+        token_lengths: jax.Array,  # (B,)
+        mels: jax.Array,  # (B, T, mel) teacher targets
+        speaker_embedding: jax.Array | None = None,  # (B, E)
+        train: bool = False,
+    ) -> dict[str, Any]:
+        """Teacher-forced forward (training/eval). Returns mel_pre/mel_post/
+        stop_logits/alignments."""
+        memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, train)
+        mel_pre, stops, aligns = self.frame_decoder(memory, mask, teacher_mels=mels)
+        residual = self.mel_postnet(mel_pre, train=train)
+        return {
+            "mel_pre": mel_pre,
+            "mel_post": mel_pre + residual,
+            "stop_logits": stops,
+            "alignments": aligns,
+        }
+
+    def infer(
+        self,
+        tokens: jax.Array,
+        token_lengths: jax.Array,
+        speaker_embedding: jax.Array | None = None,
+        max_steps: int = 1000,
+        stop_threshold: float = 0.5,
+    ) -> dict[str, Any]:
+        """AR decode to a static max length with stop-token masking outside
+        the scan (BASELINE.json:5). Returns mels plus per-utterance lengths."""
+        memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, False)
+        mel_pre, stops, aligns = self.frame_decoder(memory, mask, max_steps=max_steps)
+        residual = self.mel_postnet(mel_pre)
+        mel_post = mel_pre + residual
+
+        r = self.decoder["n_frames_per_step"] if self.decoder else 1
+        stop_prob = jax.nn.sigmoid(stops.astype(jnp.float32))  # (B, n_steps)
+        stopped = stop_prob > stop_threshold
+        any_stop = jnp.any(stopped, axis=1)
+        first_stop = jnp.argmax(stopped, axis=1)  # first True (0 if none)
+        n_steps = stops.shape[1]
+        lengths_steps = jnp.where(any_stop, first_stop + 1, n_steps)
+        mel_lengths = lengths_steps * r  # (B,) frames
+
+        frame_idx = jnp.arange(n_steps * r)[None, :]
+        frame_mask = (frame_idx < mel_lengths[:, None]).astype(mel_post.dtype)
+        return {
+            "mel_pre": mel_pre * frame_mask[..., None],
+            "mel_post": mel_post * frame_mask[..., None],
+            "stop_logits": stops,
+            "alignments": aligns,
+            "mel_lengths": mel_lengths,
+        }

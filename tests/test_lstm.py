@@ -1,0 +1,122 @@
+"""LSTM primitive tests: numerics vs torch.nn.LSTM (the reference's kernel),
+plus scan/hoisting equivalences."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_speaker_tts_tpu.ops import lstm as lstm_ops
+
+
+def _torch_oracle(x, w_ih, w_hh, b, reverse=False):
+    torch = pytest.importorskip("torch")
+    B, T, D = x.shape
+    H = w_hh.shape[0]
+    m = torch.nn.LSTM(D, H, num_layers=1, batch_first=True, bias=True)
+    with torch.no_grad():
+        # torch stores (4H, D); ours is (D, 4H). Same i,f,g,o gate order.
+        m.weight_ih_l0.copy_(torch.from_numpy(w_ih.T.copy()))
+        m.weight_hh_l0.copy_(torch.from_numpy(w_hh.T.copy()))
+        m.bias_ih_l0.copy_(torch.from_numpy(b))
+        m.bias_hh_l0.zero_()
+        inp = torch.from_numpy(x[:, ::-1].copy() if reverse else x)
+        y, (h, c) = m(inp)
+    y = y.numpy()
+    if reverse:
+        y = y[:, ::-1]
+    return y, h.numpy()[0], c.numpy()[0]
+
+
+@pytest.fixture(scope="module")
+def params_and_input():
+    rng = np.random.default_rng(7)
+    B, T, D, H = 3, 17, 12, 24
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    w_ih = (rng.normal(size=(D, 4 * H)) * 0.2).astype(np.float32)
+    w_hh = (rng.normal(size=(H, 4 * H)) * 0.2).astype(np.float32)
+    b = (rng.normal(size=(4 * H,)) * 0.1).astype(np.float32)
+    return x, lstm_ops.LSTMParams(jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(b))
+
+
+def test_lstm_matches_torch(params_and_input):
+    x, params = params_and_input
+    y, (h, c) = lstm_ops.lstm(params, jnp.asarray(x))
+    y_t, h_t, c_t = _torch_oracle(
+        x, np.asarray(params.w_ih), np.asarray(params.w_hh), np.asarray(params.b)
+    )
+    np.testing.assert_allclose(np.asarray(y), y_t, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h), h_t, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), c_t, atol=2e-5)
+
+
+def test_lstm_reverse_matches_torch(params_and_input):
+    x, params = params_and_input
+    y, _ = lstm_ops.lstm(params, jnp.asarray(x), reverse=True)
+    y_t, _, _ = _torch_oracle(
+        x, np.asarray(params.w_ih), np.asarray(params.w_hh), np.asarray(params.b),
+        reverse=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), y_t, atol=2e-5)
+
+
+def test_cell_step_equals_full_scan(params_and_input):
+    """Stepping the cell manually reproduces lax.scan's output (the AR
+    decoder uses the cell directly)."""
+    x, params = params_and_input
+    y, _ = lstm_ops.lstm(params, jnp.asarray(x))
+    B, T, _ = x.shape
+    H = params.hidden_size
+    h = jnp.zeros((B, H))
+    c = jnp.zeros((B, H))
+    gx = lstm_ops.input_gates(params, jnp.asarray(x))
+    outs = []
+    for t in range(T):
+        h, c = lstm_ops.lstm_cell_step(params, gx[:, t], h, c)
+        outs.append(h)
+    manual = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(y), atol=1e-6)
+
+
+def test_bilstm_shapes(params_and_input):
+    x, params = params_and_input
+    key = jax.random.PRNGKey(0)
+    p2 = lstm_ops.init_lstm_params(key, x.shape[-1], params.hidden_size)
+    y = lstm_ops.bilstm(params, p2, jnp.asarray(x))
+    assert y.shape == (x.shape[0], x.shape[1], 2 * params.hidden_size)
+    # forward half equals unidirectional forward output
+    y_f, _ = lstm_ops.lstm(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(y[..., : params.hidden_size]), np.asarray(y_f), atol=1e-6
+    )
+
+
+def test_lstm_stack(params_and_input):
+    x, params = params_and_input
+    key = jax.random.PRNGKey(1)
+    H = params.hidden_size
+    p2 = lstm_ops.init_lstm_params(key, H, H)
+    ys, h_T = lstm_ops.lstm_stack([params, p2], jnp.asarray(x))
+    assert ys.shape == (x.shape[0], x.shape[1], H)
+    np.testing.assert_allclose(np.asarray(ys[:, -1]), np.asarray(h_T), atol=1e-6)
+
+
+def test_lstm_bf16_compute_close_to_f32(params_and_input):
+    x, params = params_and_input
+    y32, _ = lstm_ops.lstm(params, jnp.asarray(x))
+    y16, _ = lstm_ops.lstm(params, jnp.asarray(x), compute_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.float32  # state kept in f32
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=5e-2)
+
+
+def test_lstm_grad_finite(params_and_input):
+    x, params = params_and_input
+
+    def loss(p):
+        y, _ = lstm_ops.lstm(p, jnp.asarray(x))
+        return (y**2).mean()
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

@@ -1,0 +1,183 @@
+"""Offline pattern (feature) generation (SURVEY.md section 3.1).
+
+Walks LJSpeech / VCTK trees, resamples + trims each wav, extracts mel and
+linear spectrograms with the numpy oracle DSP (bit-identical to the JAX
+front-end within 1e-4), and pickles one pattern file per utterance plus a
+metadata index used for length bucketing. Multiprocessing pool over files -
+the only process boundary, as in the reference.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import pathlib
+import pickle
+
+import numpy as np
+
+from multi_speaker_tts_tpu import text as text_frontend
+from multi_speaker_tts_tpu.audio import oracle, wav_io
+
+METADATA_FILE = "METADATA.PICKLE"
+
+
+def lj_info_load(root: str | pathlib.Path):
+    """LJSpeech-1.1 layout: metadata.csv + wavs/*.wav -> [(path, text, speaker)]."""
+    root = pathlib.Path(root)
+    items = []
+    with open(root / "metadata.csv", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 2:
+                continue
+            file_id, transcript = parts[0], parts[-1]
+            wav = root / "wavs" / f"{file_id}.wav"
+            if wav.exists():
+                items.append((str(wav), transcript, "LJ"))
+    return items
+
+
+def vctk_info_load(root: str | pathlib.Path):
+    """VCTK layout: wav48/<spk>/*.wav + txt/<spk>/*.txt -> [(path, text, speaker)]."""
+    root = pathlib.Path(root)
+    wav_root = next((root / d for d in ("wav48", "wav48_silence_trimmed", "wavs")
+                     if (root / d).exists()), None)
+    txt_root = root / "txt"
+    if wav_root is None:
+        raise FileNotFoundError(f"no VCTK wav directory under {root}")
+    items = []
+    for spk_dir in sorted(wav_root.iterdir()):
+        if not spk_dir.is_dir():
+            continue
+        speaker = spk_dir.name
+        for wav in sorted(spk_dir.glob("*.wav")) + sorted(spk_dir.glob("*.flac")):
+            txt = txt_root / speaker / (wav.stem.split("_mic")[0] + ".txt")
+            if txt.exists():
+                items.append((str(wav), txt.read_text(encoding="utf-8").strip(), speaker))
+    return items
+
+
+def _process_one(args):
+    wav_path, transcript, speaker, dataset, hp_dict, out_dir = args
+    from multi_speaker_tts_tpu.hparams import Recursive_Parse
+
+    hp = Recursive_Parse(hp_dict)
+    try:
+        wav, _ = wav_io.load_wav(wav_path, target_sr=hp.Sound.Sample_Rate)
+        wav = oracle.trim_silence(wav, top_db=hp.Sound.Trim_Top_DB)
+        peak = np.max(np.abs(wav))
+        if peak < 1e-4 or len(wav) < hp.Sound.Frame_Length:
+            return None
+        wav = (wav / peak) * 0.99
+        mel = oracle.melspectrogram(wav, hp)
+        spect = oracle.spectrogram(wav, hp)
+        tokens = text_frontend.text_to_sequence(
+            transcript, hp.Tokens.get("Cleaners", ("english_cleaners",))
+        )
+        if len(tokens) < 2:
+            return None
+        pattern = {
+            "Mel": mel.astype(np.float32),
+            "Spect": spect.astype(np.float32),
+            "Text": transcript,
+            "Tokens": tokens,
+            "Speaker": speaker,
+            "Dataset": dataset,
+        }
+        name = f"{dataset}.{speaker}.{pathlib.Path(wav_path).stem}.pickle"
+        out_path = pathlib.Path(out_dir) / name
+        with open(out_path, "wb") as f:
+            pickle.dump(pattern, f, protocol=4)
+        return {
+            "File": name,
+            "Mel_Length": mel.shape[0],
+            "Token_Length": len(tokens),
+            "Speaker": speaker,
+            "Dataset": dataset,
+        }
+    except Exception as e:  # noqa: BLE001 - one bad file must not kill the run
+        print(f"pattern generation failed for {wav_path}: {e}")
+        return None
+
+
+def generate_patterns(
+    items: list[tuple[str, str, str]],
+    hp,
+    out_dir: str | pathlib.Path,
+    dataset_name: str = "TTS",
+    num_workers: int | None = None,
+) -> dict:
+    """Extract + pickle patterns for (wav, text, speaker) items; returns and
+    writes the metadata index."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    hp_dict = hp.to_dict()
+    args = [(w, t, s, dataset_name, hp_dict, str(out_dir)) for (w, t, s) in items]
+
+    if num_workers is None:
+        num_workers = min(os.cpu_count() or 1, 8)
+    if num_workers > 1 and len(args) > 1:
+        with mp.get_context("spawn").Pool(num_workers) as pool:
+            results = pool.map(_process_one, args)
+    else:
+        results = [_process_one(a) for a in args]
+
+    entries = [r for r in results if r is not None]
+    metadata = {
+        "Files": [e["File"] for e in entries],
+        "Mel_Lengths": np.asarray([e["Mel_Length"] for e in entries], np.int32),
+        "Token_Lengths": np.asarray([e["Token_Length"] for e in entries], np.int32),
+        "Speakers": [e["Speaker"] for e in entries],
+        "Datasets": [e["Dataset"] for e in entries],
+        "Mel_Dim": hp.Sound.Mel_Dim,
+        "Spectrogram_Dim": hp.Sound.Spectrogram_Dim,
+        "Sample_Rate": hp.Sound.Sample_Rate,
+    }
+    with open(out_dir / METADATA_FILE, "wb") as f:
+        pickle.dump(metadata, f, protocol=4)
+    return metadata
+
+
+def generate_synthetic_dataset(
+    hp,
+    out_dir: str | pathlib.Path,
+    n_speakers: int = 4,
+    n_utterances: int = 8,
+    seed: int = 0,
+    num_workers: int = 1,
+) -> dict:
+    """Deterministic synthetic speech-like corpus (no LJSpeech/VCTK on this
+    machine): per-speaker fundamental + harmonics with varying duration.
+    Used by tests and the benchmark harness."""
+    rng = np.random.default_rng(seed)
+    out_dir = pathlib.Path(out_dir)
+    wav_dir = out_dir / "wavs"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    sr = hp.Sound.Sample_Rate
+    sentences = [
+        "the quick brown fox jumps over the lazy dog.",
+        "she sells sea shells by the sea shore.",
+        "a stitch in time saves nine.",
+        "all that glitters is not gold.",
+        "actions speak louder than words.",
+        "the early bird catches the worm.",
+        "practice makes perfect.",
+        "better late than never.",
+    ]
+    items = []
+    for s in range(n_speakers):
+        f0 = 110.0 * (1.3**s)
+        for u in range(n_utterances):
+            dur = float(rng.uniform(0.4, 1.2))
+            t = np.arange(int(dur * sr)) / sr
+            vib = 1.0 + 0.02 * np.sin(2 * np.pi * (2 + u % 3) * t)
+            wav = sum(
+                (0.5**k) * np.sin(2 * np.pi * f0 * (k + 1) * vib * t) for k in range(3)
+            )
+            env = np.minimum(1, 20 * t) * np.minimum(1, 20 * (t[-1] - t + 1e-6))
+            wav = (0.4 * wav * env).astype(np.float32)
+            path = wav_dir / f"spk{s}_utt{u}.wav"
+            wav_io.save_wav(path, wav, sr)
+            items.append((str(path), sentences[u % len(sentences)], f"SPK{s}"))
+    return generate_patterns(items, hp, out_dir / "patterns", "SYN", num_workers)

@@ -179,6 +179,10 @@ def tiny_test_hparams() -> HParams:
             "Stop_Threshold": 0.5,
         },
         Postnet={"Conv": {"Stacks": 2, "Channels": 32, "Kernel_Size": 5, "Dropout_Rate": 0.5}},
+        Linear_Head={
+            "Use": True,
+            "Conv": {"Stacks": 1, "Channels": 32, "Kernel_Size": 5, "Dropout_Rate": 0.5},
+        },
         Train={
             "Batch_Size": 4,
             "Max_Mel_Length": 64,

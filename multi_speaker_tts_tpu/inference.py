@@ -1,0 +1,273 @@
+"""Inference / zero-shot cloning API (SURVEY.md section 3.3; BASELINE
+configs 4 and 5).
+
+ENROLL -> SYNTH -> VOCODE, all three stages on-chip (BASELINE.json:5
+"text-to-waveform never leaves the chip"): reference wavs are mel-analyzed
+and GE2E-embedded on device, the synthesizer AR-decodes under jit, the
+linear-spectrogram head feeds batched Griffin-Lim, and only the final
+waveforms return to host. Independent utterances shard over the device mesh
+(``sharded=True``).
+
+CLI: ``python -m multi_speaker_tts_tpu.inference -hp <yaml> -checkpoint <dir>
+-text "..." [-ref enroll1.wav -ref enroll2.wav] -out <dir>``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_speaker_tts_tpu import text as text_frontend
+from multi_speaker_tts_tpu.audio import dsp, wav_io
+from multi_speaker_tts_tpu.hparams import load_hyper_parameters
+from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
+from multi_speaker_tts_tpu.text import PAD_ID
+from multi_speaker_tts_tpu.train import trainer as trainer_lib
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class Synthesizer:
+    """High-level text -> waveform engine with zero-shot speaker cloning."""
+
+    def __init__(self, hp, params, batch_stats, seed: int = 0, mesh=None):
+        self.hp = hp
+        self.models = trainer_lib.build_models(hp)
+        self.params = params
+        self.batch_stats = batch_stats
+        self.dsp_cfg = dsp.DSPConfig.from_hp(hp)
+        self.rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self._infer_cache: dict = {}
+        self._embed_cache: dict = {}
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, hp=None, **kwargs) -> "Synthesizer":
+        from multi_speaker_tts_tpu.train.checkpoints import CheckpointManager
+
+        hp = hp or load_hyper_parameters()
+        models = trainer_lib.build_models(hp)
+        # Build a state template from tiny dummy shapes, then restore into it.
+        dummy = {
+            "tokens": np.zeros((1, 8), np.int32),
+            "token_lengths": np.asarray([8], np.int32),
+            "mels": np.zeros((1, 8, hp.Sound.Mel_Dim), np.float32),
+        }
+        if models.ge2e is not None:
+            dummy["ref_mels"] = np.zeros(
+                (1, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim),
+                np.float32,
+            )
+        # eval_shape: build the restore template without running any compute
+        # (a real init would compile + run the whole model just to be
+        # overwritten by the restore).
+        template = jax.eval_shape(
+            lambda: trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), dummy)
+        )
+        mgr = CheckpointManager(checkpoint_dir)
+        restored, step = mgr.restore(template)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+        print(f"loaded checkpoint step {step}")
+        return cls(hp, restored.params, restored.batch_stats, **kwargs)
+
+    @classmethod
+    def from_state(cls, hp, state, **kwargs) -> "Synthesizer":
+        return cls(hp, state.params, state.batch_stats, **kwargs)
+
+    # -- enroll --------------------------------------------------------------
+    def enroll(self, wavs) -> np.ndarray:
+        """Reference wav(s) -> one unit-norm speaker embedding (E,).
+
+        Each wav is mel-analyzed on-chip, embedded over sliding windows, and
+        the per-wav embeddings are averaged then renormalized
+        (BASELINE.json:11 "enroll").
+        """
+        if self.models.ge2e is None:
+            raise ValueError("model has no GE2E speaker encoder")
+        spk = self.hp.Speaker_Embedding.GE2E
+        win_len, win_shift = spk.Window_Length, spk.Window_Shift
+        embs = []
+        for wav in wavs if isinstance(wavs, (list, tuple)) else [wavs]:
+            if isinstance(wav, (str, pathlib.Path)):
+                wav, _ = wav_io.load_wav(wav, target_sr=self.hp.Sound.Sample_Rate)
+            wav = np.asarray(wav, np.float32)
+            # Pad to power-of-two length buckets: one compiled program covers
+            # a 2x range of enrollment durations (remote TPU compiles are
+            # ~minutes; a fresh one per wav length is unacceptable).
+            L = max(1 << int(np.ceil(np.log2(max(len(wav), 1)))),
+                    self.dsp_cfg.sample_rate // 2)
+            wav = np.pad(wav, (0, L - len(wav)))
+            key = ("embed", L)
+            if key not in self._embed_cache:
+                def fn(params, w):
+                    mel = dsp.melspectrogram(w, self.dsp_cfg)
+                    return self.models.ge2e.apply(
+                        {"params": params["ge2e"]},
+                        mel[None],
+                        win_len,
+                        win_shift,
+                        method=self.models.ge2e.embed_utterance,
+                    )[0]
+
+                self._embed_cache[key] = jax.jit(fn)
+            embs.append(self._embed_cache[key](self.params, jnp.asarray(wav)))
+        mean = jnp.stack(embs).mean(axis=0)
+        mean = mean / jnp.maximum(jnp.linalg.norm(mean), 1e-6)
+        return np.asarray(mean)
+
+    # -- synth + vocode -----------------------------------------------------
+    def synthesize(
+        self,
+        texts: list[str],
+        speaker_embedding: np.ndarray | None = None,  # (E,) or (B, E)
+        max_steps: int | None = None,
+        vocode: bool = True,
+        sharded: bool = False,
+    ) -> list[dict]:
+        """Texts -> list of {wav, mel, linear, alignment, mel_length}."""
+        hp = self.hp
+        max_steps = max_steps or hp.Decoder.Max_Step
+        sequences = [
+            text_frontend.text_to_sequence(t, hp.Tokens.get("Cleaners", ("english_cleaners",)))
+            for t in texts
+        ]
+        B = len(sequences)
+        S = _round_up(max(len(s) for s in sequences), 16)
+        tokens = np.full((B, S), PAD_ID, np.int32)
+        lengths = np.zeros((B,), np.int32)
+        for i, s in enumerate(sequences):
+            tokens[i, : len(s)] = s
+            lengths[i] = len(s)
+
+        spk = None
+        if self.models.tacotron.speaker_embedding_size:
+            if speaker_embedding is None:
+                raise ValueError("model is speaker-conditioned: pass an embedding")
+            spk = np.asarray(speaker_embedding, np.float32)
+            if spk.ndim == 1:
+                spk = np.tile(spk[None], (B, 1))
+
+        key = ("infer", S, B, max_steps, vocode, sharded)
+        if key not in self._infer_cache:
+            self._infer_cache[key] = self._build_infer(S, max_steps, vocode, sharded)
+        out = self._infer_cache[key](
+            self.params,
+            self.batch_stats,
+            jnp.asarray(tokens),
+            jnp.asarray(lengths),
+            None if spk is None else jnp.asarray(spk),
+            self.rng,
+        )
+        out = jax.device_get(out)
+
+        results = []
+        hop = self.dsp_cfg.hop
+        for i in range(B):
+            T = int(out["mel_lengths"][i])
+            item = {
+                "mel": out["mel_post"][i, :T],
+                "alignment": out["alignments"][i],
+                "mel_length": T,
+            }
+            if "linear" in out:
+                item["linear"] = out["linear"][i, :T]
+            if vocode:
+                item["wav"] = np.asarray(out["wav"][i, : max(T - 1, 1) * hop])
+            results.append(item)
+        return results
+
+    def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool):
+        taco = self.models.tacotron
+        hp = self.hp
+        cfg = self.dsp_cfg
+
+        def fn(params, batch_stats, tokens, token_lengths, spk, rng):
+            out = taco.apply(
+                {"params": params["tacotron"], "batch_stats": batch_stats["tacotron"]},
+                tokens,
+                token_lengths,
+                spk,
+                max_steps,
+                hp.Decoder.Stop_Threshold,
+                method=taco.infer,
+                rngs={"prenet": rng},
+            )
+            if vocode:
+                spec = out.get("linear")
+                if spec is None:
+                    # Mel-only model: invert mel with the filterbank pseudo-inverse.
+                    basis = jnp.asarray(np.linalg.pinv(np.asarray(cfg.mel_basis)))
+                    S_db = dsp.denormalize(out["mel_post"], cfg.min_level_db)
+                    mag = jnp.maximum(
+                        dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
+                    )
+                else:
+                    S_db = dsp.denormalize(spec, cfg.min_level_db)
+                    mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
+                length = cfg.hop * (mag.shape[-2] - 1)
+                wav = dsp.griffin_lim(
+                    mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length
+                )
+                out["wav"] = dsp.inv_preemphasis(wav, cfg.preemphasis)
+            return out
+
+        if sharded and self.mesh is not None:
+            repl, shard = mesh_lib.data_parallel_shardings(self.mesh)
+            return jax.jit(
+                fn,
+                in_shardings=(repl, repl, shard, shard, shard, repl),
+                out_shardings=shard,
+            )
+        return jax.jit(fn)
+
+
+def _enable_compilation_cache() -> None:
+    """FFT-heavy TPU programs compile in ~1 min cold; cache them on disk."""
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/mstts_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main() -> None:
+    _enable_compilation_cache()
+    parser = argparse.ArgumentParser(description="TTS inference / zero-shot cloning")
+    parser.add_argument("-hp", "--hyper_parameters", default=None)
+    parser.add_argument("-checkpoint", required=True)
+    parser.add_argument("-text", action="append", required=True)
+    parser.add_argument("-ref", action="append", default=[],
+                        help="enrollment wav(s) for zero-shot cloning")
+    parser.add_argument("-out", default="./inference")
+    parser.add_argument("-max_steps", type=int, default=None)
+    args = parser.parse_args()
+
+    hp = load_hyper_parameters(args.hyper_parameters)
+    if hp.Speaker_Embedding.get("Type") == "GE2E" and not args.ref:
+        parser.error(
+            "this model is speaker-conditioned: pass at least one enrollment "
+            "wav with -ref"
+        )
+    synth = Synthesizer.from_checkpoint(args.checkpoint, hp)
+    spk = synth.enroll(args.ref) if args.ref else None
+    results = synth.synthesize(args.text, spk, max_steps=args.max_steps)
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, item in enumerate(results):
+        wav_io.save_wav(out_dir / f"utt_{i}.wav", item["wav"], hp.Sound.Sample_Rate)
+        np.save(out_dir / f"utt_{i}_mel.npy", item["mel"])
+        np.save(out_dir / f"utt_{i}_alignment.npy", item["alignment"])
+        print(f"wrote {out_dir}/utt_{i}.wav ({item['mel_length']} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ def tacotron_losses(
     mels: jax.Array,  # (B, T, mel)
     mel_lengths: jax.Array,  # (B,)
     token_lengths: jax.Array,  # (B,)
+    spects: jax.Array | None = None,  # (B, T, spect) linear targets
     n_frames_per_step: int = 1,
     guided_attention_sigma: float | None = 0.2,
     guided_attention_weight: float = 10.0,
@@ -85,6 +86,9 @@ def tacotron_losses(
         ),
     }
     total = losses["mel_pre"] + losses["mel_post"] + losses["stop"]
+    if spects is not None and "linear" in outputs:
+        losses["linear"] = masked_l1(outputs["linear"], spects, mask)
+        total = total + losses["linear"]
     if guided_attention_sigma is not None:
         lengths_steps = jnp.ceil(mel_lengths / n_frames_per_step).astype(jnp.int32)
         losses["guided_attention"] = guided_attention_loss(

@@ -285,13 +285,41 @@ class Postnet(nn.Module):
         return x  # residual; caller adds
 
 
+class LinearHead(nn.Module):
+    """Mel -> linear-spectrogram converter feeding Griffin-Lim (the
+    reference's post-decoder linear branch, SURVEY.md section 2: "predicts
+    mel/linear spectrograms"). Conv stack + projection - a TPU-friendly
+    stand-in for Taco1's CBHG."""
+
+    spect_dim: int
+    conv_stacks: int = 2
+    conv_channels: int = 512
+    conv_kernel_size: int = 5
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
+        x = mel
+        for i in range(self.conv_stacks):
+            x = ConvBNBlock(
+                self.conv_channels,
+                self.conv_kernel_size,
+                activation="relu",
+                dropout_rate=self.dropout_rate,
+                name=f"conv_{i}",
+            )(x, train=train)
+        return nn.Dense(self.spect_dim, name="projection")(x)
+
+
 class Tacotron(nn.Module):
     """Full synthesizer. Build with ``Tacotron.from_hp(hp)``."""
 
     mel_dim: int = 80
+    spect_dim: int = 513
     encoder: dict = None
     decoder: dict = None
     postnet: dict = None
+    linear_head: dict | None = None  # None = mel-only model
     speaker_embedding_size: int = 0  # 0 = unconditioned (single speaker)
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -303,8 +331,19 @@ class Tacotron(nn.Module):
         spk_size = 0
         if hp.Speaker_Embedding.get("Type"):
             spk_size = hp.Speaker_Embedding.Embedding_Size
+        lh = hp.get("Linear_Head")
+        linear_head = None
+        if lh is not None and lh.Use:
+            linear_head = dict(
+                conv_stacks=lh.Conv.Stacks,
+                conv_channels=lh.Conv.Channels,
+                conv_kernel_size=lh.Conv.Kernel_Size,
+                dropout_rate=lh.Conv.Dropout_Rate,
+            )
         kwargs = dict(
             mel_dim=hp.Sound.Mel_Dim,
+            spect_dim=hp.Sound.Spectrogram_Dim,
+            linear_head=linear_head,
             encoder=dict(
                 embedding_size=hp.Encoder.Embedding_Size,
                 conv_stacks=hp.Encoder.Conv.Stacks,
@@ -350,6 +389,10 @@ class Tacotron(nn.Module):
         self.mel_postnet = Postnet(
             mel_dim=self.mel_dim, **self.postnet, name="postnet"
         )
+        if self.linear_head is not None:
+            self.spect_head = LinearHead(
+                spect_dim=self.spect_dim, **self.linear_head, name="linear_head"
+            )
 
     def _build_memory(self, tokens, token_lengths, speaker_embedding, train):
         enc = self.text_encoder(tokens, train=train)
@@ -378,12 +421,16 @@ class Tacotron(nn.Module):
         memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, train)
         mel_pre, stops, aligns = self.frame_decoder(memory, mask, teacher_mels=mels)
         residual = self.mel_postnet(mel_pre, train=train)
-        return {
+        mel_post = mel_pre + residual
+        out = {
             "mel_pre": mel_pre,
-            "mel_post": mel_pre + residual,
+            "mel_post": mel_post,
             "stop_logits": stops,
             "alignments": aligns,
         }
+        if self.linear_head is not None:
+            out["linear"] = self.spect_head(mel_post, train=train)
+        return out
 
     def infer(
         self,
@@ -411,10 +458,13 @@ class Tacotron(nn.Module):
 
         frame_idx = jnp.arange(n_steps * r)[None, :]
         frame_mask = (frame_idx < mel_lengths[:, None]).astype(mel_post.dtype)
-        return {
+        out = {
             "mel_pre": mel_pre * frame_mask[..., None],
             "mel_post": mel_post * frame_mask[..., None],
             "stop_logits": stops,
             "alignments": aligns,
             "mel_lengths": mel_lengths,
         }
+        if self.linear_head is not None:
+            out["linear"] = self.spect_head(mel_post) * frame_mask[..., None]
+        return out

@@ -1,0 +1,48 @@
+"""Orbax checkpointing (SURVEY.md section 5 "Checkpoint / resume").
+
+Replaces the reference's ``torch.save({'Model', 'Optimizer', 'Scheduler',
+'Steps'})`` with Orbax: save every N steps to ``S_{step}``, resume from the
+latest step directory. The torch->JAX weight converter lives in
+``multi_speaker_tts_tpu.convert``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Step-indexed checkpoint save/restore over a pytree train state."""
+
+    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 5):
+        self.directory = pathlib.Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template, step: int | None = None):
+        """Restore into the structure/shardings of ``state_template``."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+        return restored, step
+
+    def close(self) -> None:
+        self._mgr.close()

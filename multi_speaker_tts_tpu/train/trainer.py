@@ -1,0 +1,325 @@
+"""Trainer (SURVEY.md section 2 "Trainer", section 3.2 call stack).
+
+The reference's ``Train.py`` step loop rebuilt TPU-first:
+
+- The train step is ONE jitted program: GE2E conditioning + teacher-forced
+  synthesizer forward + losses + grads + optimizer update. XLA compiles one
+  program per (token_bucket, mel_bucket) static shape.
+- Multi-chip: batches are sharded over a 1-D ``data`` mesh, state is
+  replicated; GSPMD inserts the gradient allreduce over ICI automatically
+  (BASELINE.json:5). Single-chip is the mesh size-1 special case.
+- Checkpoints via Orbax every Checkpoint_Save_Interval steps; TensorBoard
+  scalars/images/audio at the reference's intervals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from multi_speaker_tts_tpu.audio import dsp
+from multi_speaker_tts_tpu.data.datasets import BucketBatcher, PatternDataset
+from multi_speaker_tts_tpu.models import GE2E, Tacotron
+from multi_speaker_tts_tpu.models import losses as losses_lib
+from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
+from multi_speaker_tts_tpu.train.checkpoints import CheckpointManager
+from multi_speaker_tts_tpu.train.logger import Logger
+from multi_speaker_tts_tpu.train.optim import make_optimizer, noam_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class Models:
+    tacotron: Tacotron
+    ge2e: GE2E | None
+
+
+def build_models(hp) -> Models:
+    spk_type = hp.Speaker_Embedding.get("Type")
+    ge2e = GE2E.from_hp(hp) if spk_type == "GE2E" else None
+    return Models(tacotron=Tacotron.from_hp(hp), ge2e=ge2e)
+
+
+def init_state(hp, models: Models, rng: jax.Array, sample_batch: dict) -> TrainState:
+    """Initialize parameters from a (host) sample batch's shapes."""
+    rng_taco, rng_ge2e, rng_prenet = jax.random.split(rng, 3)
+    tokens = jnp.asarray(sample_batch["tokens"])
+    token_lengths = jnp.asarray(sample_batch["token_lengths"])
+    mels = jnp.asarray(sample_batch["mels"])
+
+    params = {}
+    batch_stats = {}
+    spk = None
+    if models.ge2e is not None:
+        refs = jnp.asarray(sample_batch["ref_mels"])
+        gvars = models.ge2e.init(rng_ge2e, refs)
+        params["ge2e"] = gvars["params"]
+        spk = models.ge2e.apply({"params": params["ge2e"]}, refs)
+    tvars = models.tacotron.init(
+        {"params": rng_taco, "prenet": rng_prenet}, tokens, token_lengths, mels, spk
+    )
+    params["tacotron"] = tvars["params"]
+    batch_stats["tacotron"] = tvars.get("batch_stats", {})
+
+    optimizer = make_optimizer(hp)
+    opt_state = optimizer.init(params)
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+
+def make_train_step(hp, models: Models):
+    """Returns a jittable (state, batch, rng) -> (state, metrics) function."""
+    optimizer = make_optimizer(hp)
+    r = hp.Decoder.get("N_Frames_Per_Step", 1)
+    ga = hp.Train.get("Guided_Attention")
+    ga_sigma = ga.Sigma if (ga is not None and ga.Use) else None
+    ga_weight = ga.Weight if (ga is not None and ga.Use) else 0.0
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng_prenet, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            spk = None
+            if models.ge2e is not None:
+                spk = models.ge2e.apply({"params": params["ge2e"]}, batch["ref_mels"])
+            outputs, mutated = models.tacotron.apply(
+                {
+                    "params": params["tacotron"],
+                    "batch_stats": state.batch_stats["tacotron"],
+                },
+                batch["tokens"],
+                batch["token_lengths"],
+                batch["mels"],
+                spk,
+                True,
+                rngs={"prenet": rng_prenet, "dropout": rng_dropout},
+                mutable=["batch_stats"],
+            )
+            losses = losses_lib.tacotron_losses(
+                outputs,
+                batch["mels"],
+                batch["mel_lengths"],
+                batch["token_lengths"],
+                spects=batch.get("spects"),
+                n_frames_per_step=r,
+                guided_attention_sigma=ga_sigma,
+                guided_attention_weight=ga_weight,
+            )
+            return losses["total"], (losses, mutated["batch_stats"])
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats={"tacotron": new_bs},
+            opt_state=new_opt_state,
+        )
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree))
+    )
+
+
+def make_eval_step(hp, models: Models):
+    """Teacher-forced eval (no dropout/BN update, prenet still stochastic)."""
+    r = hp.Decoder.get("N_Frames_Per_Step", 1)
+
+    def eval_step(state: TrainState, batch: dict, rng: jax.Array):
+        spk = None
+        if models.ge2e is not None:
+            spk = models.ge2e.apply(
+                {"params": state.params["ge2e"]}, batch["ref_mels"]
+            )
+        outputs = models.tacotron.apply(
+            {
+                "params": state.params["tacotron"],
+                "batch_stats": state.batch_stats["tacotron"],
+            },
+            batch["tokens"],
+            batch["token_lengths"],
+            batch["mels"],
+            spk,
+            rngs={"prenet": rng},
+        )
+        losses = losses_lib.tacotron_losses(
+            outputs,
+            batch["mels"],
+            batch["mel_lengths"],
+            batch["token_lengths"],
+            spects=batch.get("spects"),
+            n_frames_per_step=r,
+        )
+        return losses, outputs
+
+    return eval_step
+
+
+class Trainer:
+    """End-to-end training driver: data, models, optimizer, mesh, logging,
+    checkpointing. ``python -m multi_speaker_tts_tpu.train -hp <yaml>``."""
+
+    def __init__(
+        self,
+        hp,
+        checkpoint_dir: str | None = None,
+        log_dir: str | None = None,
+        n_devices: int | None = None,
+    ):
+        self.hp = hp
+        self.models = build_models(hp)
+        self.mesh = mesh_lib.create_mesh(n_devices)
+        self.n_devices = self.mesh.devices.size
+        self.train_step_fn = None  # jitted lazily (needs shardings)
+        self.eval_step_fn = jax.jit(make_eval_step(hp, self.models))
+        self.logger = Logger(log_dir or hp.Log_Path)
+        self.checkpoints = CheckpointManager(checkpoint_dir or hp.Checkpoint_Path)
+        self.dsp_cfg = dsp.DSPConfig.from_hp(hp)
+        self.state: TrainState | None = None
+        self.rng = jax.random.PRNGKey(hp.get("Seed", 0) or 0)
+
+    # -- data ------------------------------------------------------------
+    def make_batcher(self, pattern_dir: str, shuffle: bool = True) -> BucketBatcher:
+        hp = self.hp
+        ref_window = None
+        if self.models.ge2e is not None:
+            ref_window = hp.Speaker_Embedding.GE2E.Window_Length
+        lh = hp.get("Linear_Head")
+        spect_dim = hp.Sound.Spectrogram_Dim if (lh is not None and lh.Use) else None
+        return BucketBatcher(
+            PatternDataset(pattern_dir),
+            batch_size=hp.Train.Batch_Size,
+            token_buckets=list(hp.Train.Batch_Bucketing.Token_Buckets),
+            mel_buckets=list(hp.Train.Batch_Bucketing.Mel_Buckets),
+            mel_dim=hp.Sound.Mel_Dim,
+            n_frames_per_step=hp.Decoder.get("N_Frames_Per_Step", 1),
+            ref_window=ref_window,
+            shuffle=shuffle,
+            spect_dim=spect_dim,
+        )
+
+    # -- state -----------------------------------------------------------
+    def initialize(self, sample_batch: dict) -> TrainState:
+        self.state = init_state(self.hp, self.models, self.rng, sample_batch)
+        restored, step = self.checkpoints.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            print(f"resumed from checkpoint step {step}")
+        self.state = mesh_lib.replicate(self.mesh, self.state)
+        repl, shard = mesh_lib.data_parallel_shardings(self.mesh)
+        self._jit_train_step = jax.jit(
+            make_train_step(self.hp, self.models),
+            in_shardings=(repl, shard, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=0,
+        )
+        return self.state
+
+    def shard(self, batch: dict) -> dict:
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def train_step(self, batch: dict):
+        self.state, metrics = self._jit_train_step(
+            self.state, self.shard(batch), self.rng
+        )
+        return metrics
+
+    # -- loop ------------------------------------------------------------
+    def train(self, pattern_dir: str, eval_pattern_dir: str | None = None,
+              max_steps: int | None = None) -> TrainState:
+        hp = self.hp
+        max_steps = max_steps or hp.Train.Max_Step
+        batcher = self.make_batcher(pattern_dir)
+        if self.state is None:
+            first = next(iter(batcher))[1]
+            self.initialize(first)
+        schedule = noam_schedule(
+            hp.Train.Learning_Rate.Initial, hp.Train.Learning_Rate.Warmup_Step
+        )
+
+        step = int(jax.device_get(self.state.step))
+        t_last, frames_since = time.time(), 0
+        while step < max_steps:
+            for _, batch in batcher:
+                metrics = self.train_step(batch)
+                step += 1
+                frames_since += int(batch["mel_lengths"].sum())
+                if step % hp.Train.Logging_Interval == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.time() - t_last
+                    self.logger.add_scalar_dict("Train/Loss", metrics, step)
+                    self.logger.add_scalar(
+                        "Train/Learning_Rate", float(schedule(step)), step
+                    )
+                    self.logger.add_scalar(
+                        "Train/Mel_Frames_Per_Sec", frames_since / max(dt, 1e-9), step
+                    )
+                    t_last, frames_since = time.time(), 0
+                if step % hp.Train.Checkpoint_Save_Interval == 0:
+                    self.save(step)
+                if (
+                    eval_pattern_dir is not None
+                    and step % hp.Train.Evaluation_Interval == 0
+                ):
+                    self.evaluate(eval_pattern_dir, step)
+                if step >= max_steps:
+                    break
+        self.save(step)
+        self.logger.flush()
+        return self.state
+
+    def evaluate(self, pattern_dir: str, step: int, max_batches: int = 8) -> dict:
+        batcher = self.make_batcher(pattern_dir, shuffle=False)
+        totals: dict[str, float] = {}
+        count = 0
+        for _, batch in batcher:
+            if count >= max_batches:
+                break
+            losses, outputs = self.eval_step_fn(
+                self.state, self.shard(batch), self.rng
+            )
+            losses = jax.device_get(losses)
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        if count:
+            means = {k: v / count for k, v in totals.items()}
+            self.logger.add_scalar_dict("Evaluation/Loss", means, step)
+            align = np.asarray(jax.device_get(outputs["alignments"][0]))
+            self.logger.add_image(
+                "Evaluation/Alignment", align / max(align.max(), 1e-6), step
+            )
+            return means
+        return {}
+
+    def save(self, step: int) -> None:
+        self.checkpoints.save(step, jax.device_get(self.state))

@@ -31,6 +31,7 @@ def main() -> None:
 
     from multi_speaker_tts_tpu.audio import dsp
     from multi_speaker_tts_tpu.hparams import default_hparams
+    from multi_speaker_tts_tpu.ops import stft_matmul
     from multi_speaker_tts_tpu.train import trainer as trainer_lib
 
     # Constant-workload decode: threshold > 1 means sigmoid never crosses it,
@@ -70,8 +71,9 @@ def main() -> None:
         S_db = dsp.denormalize(out["linear"], cfg.min_level_db)
         mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
         length = cfg.hop * (mag.shape[-2] - 1)
-        wav = dsp.griffin_lim(
-            mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length
+        wav = stft_matmul.griffin_lim_matmul(
+            mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length,
+            precision=os.environ.get("BENCH_GL_PRECISION", "highest"),
         )
         wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
         # Scalar probe: fetching this float forces full execution. On the

@@ -25,6 +25,7 @@ import numpy as np
 from multi_speaker_tts_tpu import text as text_frontend
 from multi_speaker_tts_tpu.audio import dsp, wav_io
 from multi_speaker_tts_tpu.hparams import load_hyper_parameters
+from multi_speaker_tts_tpu.ops import stft_matmul
 from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
 from multi_speaker_tts_tpu.text import PAD_ID
 from multi_speaker_tts_tpu.train import trainer as trainer_lib
@@ -215,9 +216,17 @@ class Synthesizer:
                     S_db = dsp.denormalize(spec, cfg.min_level_db)
                     mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
                 length = cfg.hop * (mag.shape[-2] - 1)
-                wav = dsp.griffin_lim(
-                    mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length
-                )
+                if cfg.n_fft % cfg.hop == 0:
+                    # GEMM-native Griffin-Lim: ~10x faster than FFT on TPU.
+                    wav = stft_matmul.griffin_lim_matmul(
+                        mag**cfg.power, cfg.n_fft, cfg.hop,
+                        cfg.griffin_lim_iter, length,
+                    )
+                else:
+                    wav = dsp.griffin_lim(
+                        mag**cfg.power, cfg.n_fft, cfg.hop,
+                        cfg.griffin_lim_iter, length,
+                    )
                 out["wav"] = dsp.inv_preemphasis(wav, cfg.preemphasis)
             return out
 

@@ -167,7 +167,7 @@ def generate_synthetic_dataset(
     ]
     items = []
     for s in range(n_speakers):
-        f0 = 110.0 * (1.3**s)
+        f0 = 110.0 * (1.3**s)  # distinct per-speaker fundamental
         for u in range(n_utterances):
             dur = float(rng.uniform(0.4, 1.2))
             t = np.arange(int(dur * sr)) / sr
@@ -181,3 +181,53 @@ def generate_synthetic_dataset(
             wav_io.save_wav(path, wav, sr)
             items.append((str(path), sentences[u % len(sentences)], f"SPK{s}"))
     return generate_patterns(items, hp, out_dir / "patterns", "SYN", num_workers)
+
+
+def main() -> None:
+    """CLI mirroring the reference's ``python Pattern_Generator.py -lj <path>
+    -vctk <path>`` surface (SURVEY.md section 3.1)."""
+    import argparse
+
+    from multi_speaker_tts_tpu.hparams import load_hyper_parameters
+
+    parser = argparse.ArgumentParser(description="Offline pattern generation")
+    parser.add_argument("-hp", "--hyper_parameters", default=None)
+    parser.add_argument("-lj", default=None, help="LJSpeech root directory")
+    parser.add_argument("-vctk", default=None, help="VCTK root directory")
+    parser.add_argument("-out", default=None, help="pattern output directory")
+    parser.add_argument("-workers", type=int, default=None)
+    parser.add_argument("-eval_ratio", type=float, default=0.01,
+                        help="fraction of utterances held out for eval")
+    args = parser.parse_args()
+
+    hp = load_hyper_parameters(args.hyper_parameters)
+    items: list[tuple[str, str, str]] = []
+    if args.lj:
+        items += lj_info_load(args.lj)
+    if args.vctk:
+        items += vctk_info_load(args.vctk)
+    if not items:
+        parser.error("pass -lj and/or -vctk")
+    print(f"found {len(items)} utterances")
+
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(len(items))
+    n_eval = max(1, int(len(items) * args.eval_ratio))
+    eval_items = [items[i] for i in idx[:n_eval]]
+    train_items = [items[i] for i in idx[n_eval:]]
+
+    out = pathlib.Path(args.out) if args.out else pathlib.Path(
+        hp.Train.Train_Pattern.Path
+    ).parent
+    meta_train = generate_patterns(
+        train_items, hp, out / "train", "TTS", args.workers
+    )
+    meta_eval = generate_patterns(eval_items, hp, out / "eval", "TTS", args.workers)
+    print(
+        f"wrote {len(meta_train['Files'])} train / {len(meta_eval['Files'])} "
+        f"eval patterns under {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

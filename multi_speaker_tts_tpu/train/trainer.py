@@ -206,6 +206,9 @@ class Trainer:
         self.dsp_cfg = dsp.DSPConfig.from_hp(hp)
         self.state: TrainState | None = None
         self.rng = jax.random.PRNGKey(hp.get("Seed", 0) or 0)
+        # (start, stop) step interval to capture a jax.profiler trace for
+        # (SURVEY.md section 5 "Tracing / profiling"); None = off.
+        self.profile_steps: tuple[int, int] | None = None
 
     # -- data ------------------------------------------------------------
     def make_batcher(self, pattern_dir: str, shuffle: bool = True) -> BucketBatcher:
@@ -270,8 +273,13 @@ class Trainer:
         t_last, frames_since = time.time(), 0
         while step < max_steps:
             for _, batch in batcher:
+                if self.profile_steps and step == self.profile_steps[0]:
+                    jax.profiler.start_trace(str(self.logger.log_dir / "profile"))
                 metrics = self.train_step(batch)
                 step += 1
+                if self.profile_steps and step == self.profile_steps[1]:
+                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
                 frames_since += int(batch["mel_lengths"].sum())
                 if step % hp.Train.Logging_Interval == 0:
                     metrics = jax.device_get(metrics)

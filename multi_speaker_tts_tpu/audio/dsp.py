@@ -185,6 +185,24 @@ def melspectrogram(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
     return normalize(amp_to_db(M) - cfg.ref_level_db, cfg.min_level_db)
 
 
+def melspectrogram_auto(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
+    """Dispatch to the fused Pallas front-end kernel when eligible (TPU,
+    hop | n_fft, batched hop-multiple length), else the rfft path. Both match
+    the oracle within 1e-4."""
+    eligible = (
+        wav.ndim == 2
+        and cfg.n_fft % cfg.hop == 0
+        and wav.shape[-1] % cfg.hop == 0
+        and cfg.hop % 128 == 0  # HBM row slicing needs lane alignment
+        and jax.default_backend() == "tpu"
+    )
+    if eligible:
+        from multi_speaker_tts_tpu.ops.mel_kernel import melspectrogram_pallas
+
+        return melspectrogram_pallas(wav, cfg)
+    return melspectrogram(wav, cfg)
+
+
 def griffin_lim(
     magnitude: jax.Array, n_fft: int, hop: int, n_iter: int, length: int
 ) -> jax.Array:

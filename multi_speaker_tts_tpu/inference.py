@@ -111,7 +111,7 @@ class Synthesizer:
             key = ("embed", L)
             if key not in self._embed_cache:
                 def fn(params, w):
-                    mel = dsp.melspectrogram(w, self.dsp_cfg)
+                    mel = dsp.melspectrogram_auto(w[None], self.dsp_cfg)[0]
                     return self.models.ge2e.apply(
                         {"params": params["ge2e"]},
                         mel[None],

@@ -54,12 +54,19 @@ def lstm_cell_step(
     h: jax.Array,  # (B, H)
     c: jax.Array,  # (B, H) - kept in f32
     compute_dtype=jnp.float32,
+    precision: jax.lax.Precision | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """One LSTM step given the precomputed input gates. Returns (h, c)."""
+    """One LSTM step given the precomputed input gates. Returns (h, c).
+
+    ``precision``: pass ``jax.lax.Precision.HIGHEST`` for full-f32 MXU passes
+    (parity evaluation vs reference checkpoints); default TPU f32 matmuls use
+    single-pass bf16 multiplies (~1e-3 output error, fine for training).
+    """
     gates = gates_x + jnp.dot(
         h.astype(compute_dtype),
         params.w_hh.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     gates = gates.astype(jnp.float32)
     H = params.hidden_size
@@ -74,12 +81,14 @@ def lstm_cell_step(
     return h_new, c_new
 
 
-def input_gates(params: LSTMParams, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+def input_gates(params: LSTMParams, x: jax.Array, compute_dtype=jnp.float32,
+                precision=None) -> jax.Array:
     """Hoisted input projection for all timesteps: (B, T, D) -> (B, T, 4H)."""
     gx = jnp.dot(
         x.astype(compute_dtype),
         params.w_ih.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return gx.astype(jnp.float32) + params.b.astype(jnp.float32)
 
@@ -91,6 +100,7 @@ def lstm(
     c0: jax.Array | None = None,
     reverse: bool = False,
     compute_dtype=jnp.float32,
+    precision: jax.lax.Precision | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Full-sequence LSTM: returns (outputs (B, T, H), (h_T, c_T))."""
     B = x.shape[0]
@@ -100,12 +110,12 @@ def lstm(
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
 
-    gx = input_gates(params, x, compute_dtype)  # (B, T, 4H)
+    gx = input_gates(params, x, compute_dtype, precision)  # (B, T, 4H)
     gx_t = jnp.swapaxes(gx, 0, 1)  # (T, B, 4H): scan over time
 
     def step(carry, g):
         h, c = carry
-        h, c = lstm_cell_step(params, g, h, c, compute_dtype)
+        h, c = lstm_cell_step(params, g, h, c, compute_dtype, precision)
         return (h, c), h
 
     (h_T, c_T), ys = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse)

@@ -1,0 +1,213 @@
+"""Fused Pallas TPU kernel: waveform -> normalized log-mel spectrogram.
+
+The reference's audio front-end (framing, STFT, mel filterbank, log
+compression, per-utterance normalization - SURVEY.md section 2 "Audio
+front-end") as ONE TPU kernel (BASELINE.json:5 "fused Pallas kernels"):
+
+  HBM wav slice --async DMA--> VMEM --[shifted-view framing -> window ->
+  rDFT matmul (MXU) -> magnitude -> mel matmul (MXU) -> log10 -> [0,1]
+  norm]--> mel tile --> HBM
+
+Frame tiles overlap by n_fft - hop samples, which block-indexed BlockSpecs
+cannot express, so the kernel DMAs its own (arbitrary-offset) signal slice
+from HBM - the canonical Pallas pattern for overlapping reads. The
+windowed-DFT and mel matrices have constant index maps and stay resident in
+VMEM across the sequential grid. The frequency axis is zero-padded 513 ->
+640 and the mel axis 80 -> 128 to hit MXU lane multiples; padding
+contributes exact zeros.
+
+Preemphasis + reflect padding happen in XLA before the kernel (one fused
+elementwise pass); the kernel consumes the padded signal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_speaker_tts_tpu.audio.mel_filterbank import mel_filterbank
+from multi_speaker_tts_tpu.ops.stft_matmul import _dft_matrices, _hann
+
+_AMP_FLOOR = 1e-5
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _padded_operands(
+    sample_rate: int, n_fft: int, n_mels: int, f_min: float, f_max: float | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Windowed DFT (n_fft, Fp) x2 and mel basis (Fp, Mp), lane-padded."""
+    F = n_fft // 2 + 1
+    Fp, Mp = _round_up(F, LANE), _round_up(n_mels, LANE)
+    Wr, Wi = _dft_matrices(n_fft)
+    win = _hann(n_fft)[:, None]
+    Wr_p = np.zeros((n_fft, Fp), np.float32)
+    Wi_p = np.zeros((n_fft, Fp), np.float32)
+    Wr_p[:, :F] = win * Wr
+    Wi_p[:, :F] = win * Wi
+    basis = mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max)  # (M, F)
+    B_p = np.zeros((Fp, Mp), np.float32)
+    B_p[:F, :n_mels] = basis.T
+    return Wr_p, Wi_p, B_p, Fp, Mp
+
+
+def _mel_kernel(
+    wav_hbm,  # (k*B*n_tiles*tile_t, hop): k hop-shifted copies as rows, HBM
+    wr_ref,  # (n_fft, Fp) VMEM
+    wi_ref,  # (n_fft, Fp) VMEM
+    mel_ref,  # (Fp, Mp) VMEM
+    out_ref,  # (1, TILE_T, Mp) VMEM
+    *scratch,  # k x VMEM((TILE_T*hop,)) signal buffers + (k,) DMA semaphores
+    # (separate buffers: row-slicing a (k, n) VMEM scratch hits tiling limits)
+
+    tile_t: int,
+    n_fft: int,
+    hop: int,
+    ref_level_db: float,
+    min_level_db: float,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    k = n_fft // hop
+    sig_bufs, dma_sem = scratch[:k], scratch[k]
+
+    # The host passes k hop-shifted copies of the signal, flattened so every
+    # DMA start is a multiple of tile_t*hop (1-D HBM memrefs require
+    # 1024-aligned slice starts; in-kernel sublane-offset views are not
+    # expressible either - Mosaic cannot concatenate row-offset views).
+    # Shifted copy i supplies frames' column block i: frame j columns
+    # [i*hop, (i+1)*hop) == wav[(j+i)*hop : (j+i+1)*hop].
+    B = pl.num_programs(0)
+    n_tiles = pl.num_programs(1)
+    copies = [
+        pltpu.make_async_copy(
+            wav_hbm.at[
+                pl.ds(
+                    pl.multiple_of(
+                        ((i * B + b) * n_tiles + t) * tile_t, tile_t
+                    ),
+                    tile_t,
+                ),
+                :,
+            ],
+            sig_bufs[i],
+            dma_sem.at[i],
+        )
+        for i in range(k)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    # DFT of the (virtual) frames matrix as a sum over column blocks:
+    # frames @ W = sum_i rows_i @ W[i*hop : (i+1)*hop].
+    re = jnp.zeros((tile_t, wr_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((tile_t, wr_ref.shape[1]), jnp.float32)
+    for i in range(k):
+        rows_i = sig_bufs[i][:, :]  # (tile_t, hop)
+        re += jnp.dot(
+            rows_i, wr_ref[i * hop : (i + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        im += jnp.dot(
+            rows_i, wi_ref[i * hop : (i + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    mag = jnp.sqrt(re * re + im * im)  # (TILE_T, Fp); padded cols exactly 0
+    mel = jnp.dot(
+        mag, mel_ref[:, :], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    db = 20.0 * jnp.log10(jnp.maximum(mel, _AMP_FLOOR)) - ref_level_db
+    out_ref[0, :, :] = jnp.clip((db - min_level_db) / (-min_level_db), 0.0, 1.0)
+
+
+def melspectrogram_pallas(
+    wav: jax.Array,  # (B, L) raw waveform, L a hop multiple
+    cfg,  # audio.dsp.DSPConfig
+    tile_t: int = 64,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused front-end: (B, L) -> (B, 1 + L/hop, n_mels) normalized log-mel.
+
+    Matches ``audio.dsp.melspectrogram`` within 1e-4 (tested); falls back to
+    interpret mode automatically off-TPU.
+    """
+    from multi_speaker_tts_tpu.audio import dsp  # dsp does not import ops
+
+    n_fft, hop = cfg.n_fft, cfg.hop
+    assert n_fft % hop == 0
+    B, L = wav.shape
+    assert L % hop == 0, f"signal length {L} must be a hop multiple"
+    T = 1 + L // hop
+    Tp = _round_up(T, tile_t)
+    n_tiles = Tp // tile_t
+    k = n_fft // hop
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    assert (tile_t * hop) % 1024 == 0, "DMA starts must be 1024-aligned"
+    if not (interpret if interpret is not None else jax.default_backend() != "tpu"):
+        # Compiled Mosaic constraint: the (rows, hop) HBM memref slices along
+        # the lane dimension, which must be a 128 multiple.
+        assert hop % 128 == 0, f"compiled kernel requires hop % 128 == 0, got {hop}"
+
+    y = dsp.preemphasis(wav, cfg.preemphasis)
+    # Reflect-pad both sides for centering (matching dsp.frame_signal), then
+    # zero-pad the tail so every shifted copy spans n_tiles * tile_t * hop.
+    pad_l = n_fft // 2
+    total = (n_tiles * tile_t + k) * hop
+    y = jnp.pad(y, ((0, 0), (pad_l, pad_l)), mode="reflect")
+    pad_r = total - y.shape[-1]
+    y = jnp.pad(y, ((0, 0), (0, max(pad_r, 0))))
+    # k hop-shifted copies, flattened (see kernel docstring re alignment).
+    row_len = n_tiles * tile_t * hop
+    shifted = jnp.stack(
+        [y[:, i * hop : i * hop + row_len] for i in range(k)]
+    )  # (k, B, row_len)
+
+    Wr_p, Wi_p, B_p, Fp, Mp = _padded_operands(
+        cfg.sample_rate, n_fft, cfg.n_mels, cfg.f_min, cfg.f_max
+    )
+    kernel = functools.partial(
+        _mel_kernel,
+        tile_t=tile_t,
+        n_fft=n_fft,
+        hop=hop,
+        ref_level_db=cfg.ref_level_db,
+        min_level_db=cfg.min_level_db,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wav stays in HBM
+            pl.BlockSpec((n_fft, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fp, Mp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_t, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Mp), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((tile_t, hop), jnp.float32) for _ in range(k)]
+            + [pltpu.SemaphoreType.DMA((k,))]
+        ),
+        interpret=interpret,
+    )(shifted.reshape(-1, hop), jnp.asarray(Wr_p), jnp.asarray(Wi_p), jnp.asarray(B_p))
+    return out[:, :T, : cfg.n_mels]

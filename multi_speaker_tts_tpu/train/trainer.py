@@ -284,6 +284,11 @@ class Trainer:
                 if step % hp.Train.Logging_Interval == 0:
                     metrics = jax.device_get(metrics)
                     dt = time.time() - t_last
+                    print(
+                        f"step {step}: loss {float(metrics['total']):.4f} "
+                        f"({frames_since / max(dt, 1e-9):,.0f} mel frames/s)",
+                        flush=True,
+                    )
                     self.logger.add_scalar_dict("Train/Loss", metrics, step)
                     self.logger.add_scalar(
                         "Train/Learning_Rate", float(schedule(step)), step

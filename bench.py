@@ -71,7 +71,7 @@ def main() -> None:
         S_db = dsp.denormalize(out["linear"], cfg.min_level_db)
         mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
         length = cfg.hop * (mag.shape[-2] - 1)
-        wav = stft_matmul.griffin_lim_matmul(
+        wav = stft_matmul.griffin_lim_auto(
             mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length,
             precision=os.environ.get("BENCH_GL_PRECISION", "highest"),
         )

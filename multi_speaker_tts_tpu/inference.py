@@ -217,8 +217,8 @@ class Synthesizer:
                     mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
                 length = cfg.hop * (mag.shape[-2] - 1)
                 if cfg.n_fft % cfg.hop == 0:
-                    # GEMM-native Griffin-Lim: ~10x faster than FFT on TPU.
-                    wav = stft_matmul.griffin_lim_matmul(
+                    # Pallas VMEM-resident GL on TPU, GEMM GL otherwise.
+                    wav = stft_matmul.griffin_lim_auto(
                         mag**cfg.power, cfg.n_fft, cfg.hop,
                         cfg.griffin_lim_iter, length,
                     )

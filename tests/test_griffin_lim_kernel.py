@@ -1,0 +1,75 @@
+"""Pallas Griffin-Lim kernel vs the GEMM (XLA) implementation (interpret
+mode here; the compiled TPU path is driven by bench/verify)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multi_speaker_tts_tpu.audio import oracle
+from multi_speaker_tts_tpu.ops import stft_matmul as sm
+from multi_speaker_tts_tpu.ops.griffin_lim_kernel import griffin_lim_pallas
+
+N_FFT, HOP = 256, 64
+
+
+@pytest.fixture(scope="module")
+def mag(speech_like_wav):
+    L = (len(speech_like_wav) // HOP) * HOP
+    m = np.abs(oracle.stft(speech_like_wav[:L], N_FFT, HOP))[:49]
+    return np.stack([m, m * 0.7]).astype(np.float32)  # (2, 49, 129)
+
+
+def test_gl_kernel_single_iteration_matches_gemm(mag):
+    """With one iteration, boundary-handling differences (the kernel re-frames
+    real edge samples, the GEMM path crops + reflect-pads per iteration) have
+    not propagated: interiors must agree closely."""
+    length = HOP * (mag.shape[1] - 1)
+    got = np.asarray(
+        griffin_lim_pallas(jnp.asarray(mag), N_FFT, HOP, 1, compute_dtype="float32")
+    )
+    want = np.asarray(
+        sm.griffin_lim_matmul(jnp.asarray(mag), N_FFT, HOP, 1, length)
+    )
+    assert got.shape == want.shape == (2, length)
+    np.testing.assert_allclose(
+        got[:, N_FFT:-N_FFT], want[:, N_FFT:-N_FFT], atol=2e-3
+    )
+
+
+def test_gl_kernel_resynthesis_quality(mag):
+    """Functional gate: the kernel's phase recovery reaches the same spectral
+    consistency as the GEMM GL (|STFT(y)| close to the target magnitude)."""
+    def consistency(y):
+        rec = np.abs(oracle.stft(y, N_FFT, HOP))[: mag.shape[1]]
+        tgt = mag[0, : rec.shape[0]]
+        return np.abs(rec - tgt).mean() / (np.abs(tgt).mean() + 1e-9)
+
+    length = HOP * (mag.shape[1] - 1)
+    y_kernel = np.asarray(
+        griffin_lim_pallas(jnp.asarray(mag), N_FFT, HOP, 12, compute_dtype="float32")
+    )[0]
+    y_gemm = np.asarray(
+        sm.griffin_lim_matmul(jnp.asarray(mag), N_FFT, HOP, 12, length)
+    )[0]
+    c_kernel, c_gemm = consistency(y_kernel), consistency(y_gemm)
+    assert np.isfinite(y_kernel).all()
+    assert c_kernel < c_gemm * 1.5 + 0.02, (c_kernel, c_gemm)
+
+
+def test_gl_kernel_bf16_quality(mag, hp):
+    """bf16 DFT matrices: resynthesis stays close to the f32 result."""
+    got16 = np.asarray(
+        griffin_lim_pallas(jnp.asarray(mag), N_FFT, HOP, 6, compute_dtype="bfloat16")
+    )
+    got32 = np.asarray(
+        griffin_lim_pallas(jnp.asarray(mag), N_FFT, HOP, 6, compute_dtype="float32")
+    )
+    # Same iteration; bf16 transform error must stay bounded.
+    scale = np.abs(got32).max()
+    assert np.abs(got16 - got32).max() < 0.05 * scale
+
+
+def test_gl_kernel_rejects_odd_ratio():
+    with pytest.raises(AssertionError, match="even"):
+        griffin_lim_pallas(jnp.zeros((1, 8, 97)), 192, 64, 2)

@@ -67,6 +67,8 @@ class Synthesizer:
                 (1, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim),
                 np.float32,
             )
+        if models.speaker_lut is not None:
+            dummy["speaker_ids"] = np.zeros((1,), np.int32)
         # eval_shape: build the restore template without running any compute
         # (a real init would compile + run the whole model just to be
         # overwritten by the restore).
@@ -127,6 +129,17 @@ class Synthesizer:
         return np.asarray(mean)
 
     # -- synth + vocode -----------------------------------------------------
+    def embed_speaker_ids(self, speaker_ids) -> np.ndarray:
+        """Closed-set models (Speaker_Embedding.Type: LUT): ids -> embeddings."""
+        if self.models.speaker_lut is None:
+            raise ValueError("model has no speaker lookup table")
+        return np.asarray(
+            self.models.speaker_lut.apply(
+                {"params": self.params["speaker_lut"]},
+                jnp.asarray(np.atleast_1d(speaker_ids), jnp.int32),
+            )
+        )
+
     def synthesize(
         self,
         texts: list[str],
@@ -134,6 +147,7 @@ class Synthesizer:
         max_steps: int | None = None,
         vocode: bool = True,
         sharded: bool = False,
+        speaker_ids=None,  # alternative to speaker_embedding for LUT models
     ) -> list[dict]:
         """Texts -> list of {wav, mel, linear, alignment, mel_length}."""
         hp = self.hp
@@ -150,6 +164,8 @@ class Synthesizer:
             tokens[i, : len(s)] = s
             lengths[i] = len(s)
 
+        if speaker_ids is not None:
+            speaker_embedding = self.embed_speaker_ids(speaker_ids)
         spk = None
         if self.models.tacotron.speaker_embedding_size:
             if speaker_embedding is None:
@@ -252,22 +268,39 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="TTS inference / zero-shot cloning")
     parser.add_argument("-hp", "--hyper_parameters", default=None)
     parser.add_argument("-checkpoint", required=True)
-    parser.add_argument("-text", action="append", required=True)
+    parser.add_argument("-text", action="append", default=[])
+    parser.add_argument("-text_file", default=None,
+                        help="file with one sentence per line")
     parser.add_argument("-ref", action="append", default=[],
-                        help="enrollment wav(s) for zero-shot cloning")
+                        help="enrollment wav(s) for zero-shot cloning (GE2E)")
+    parser.add_argument("-speaker_id", type=int, default=None,
+                        help="speaker index for LUT models")
     parser.add_argument("-out", default="./inference")
     parser.add_argument("-max_steps", type=int, default=None)
     args = parser.parse_args()
 
+    texts = list(args.text)
+    if args.text_file:
+        with open(args.text_file, encoding="utf-8") as f:
+            texts += [line.strip() for line in f if line.strip()]
+    if not texts:
+        parser.error("pass -text and/or -text_file")
+
     hp = load_hyper_parameters(args.hyper_parameters)
-    if hp.Speaker_Embedding.get("Type") == "GE2E" and not args.ref:
+    spk_type = hp.Speaker_Embedding.get("Type")
+    if spk_type == "GE2E" and not args.ref:
         parser.error(
             "this model is speaker-conditioned: pass at least one enrollment "
             "wav with -ref"
         )
+    if spk_type == "LUT" and args.speaker_id is None:
+        parser.error("this model uses a speaker lookup table: pass -speaker_id")
     synth = Synthesizer.from_checkpoint(args.checkpoint, hp)
     spk = synth.enroll(args.ref) if args.ref else None
-    results = synth.synthesize(args.text, spk, max_steps=args.max_steps)
+    results = synth.synthesize(
+        texts, spk, max_steps=args.max_steps,
+        speaker_ids=None if args.speaker_id is None else [args.speaker_id] * len(texts),
+    )
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -275,7 +308,32 @@ def main() -> None:
         wav_io.save_wav(out_dir / f"utt_{i}.wav", item["wav"], hp.Sound.Sample_Rate)
         np.save(out_dir / f"utt_{i}_mel.npy", item["mel"])
         np.save(out_dir / f"utt_{i}_alignment.npy", item["alignment"])
+        _save_alignment_plot(
+            out_dir / f"utt_{i}_alignment.png", item["alignment"], item["mel_length"]
+        )
         print(f"wrote {out_dir}/utt_{i}.wav ({item['mel_length']} frames)")
+
+
+def _save_alignment_plot(path, alignment: np.ndarray, mel_length: int) -> None:
+    """Attention-alignment image, the reference's de-facto health metric
+    (SURVEY.md section 4). Silently skipped if matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.imshow(
+        alignment[:mel_length].T, aspect="auto", origin="lower",
+        interpolation="none", cmap="viridis",
+    )
+    ax.set_xlabel("decoder step")
+    ax.set_ylabel("encoder position")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from flax import struct
 from multi_speaker_tts_tpu.audio import dsp
 from multi_speaker_tts_tpu.data.datasets import BucketBatcher, PatternDataset
 from multi_speaker_tts_tpu.models import GE2E, Tacotron
+from multi_speaker_tts_tpu.models.speaker import SpeakerLUT
 from multi_speaker_tts_tpu.models import losses as losses_lib
 from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
 from multi_speaker_tts_tpu.train.checkpoints import CheckpointManager
@@ -45,12 +46,27 @@ class TrainState(struct.PyTreeNode):
 class Models:
     tacotron: Tacotron
     ge2e: GE2E | None
+    speaker_lut: SpeakerLUT | None = None
+
+    def speaker_embedding(self, params: dict, batch: dict):
+        """Speaker conditioning for a training/eval batch (None if
+        unconditioned): GE2E over reference mel crops, or LUT over ids."""
+        if self.ge2e is not None:
+            return self.ge2e.apply({"params": params["ge2e"]}, batch["ref_mels"])
+        if self.speaker_lut is not None:
+            return self.speaker_lut.apply(
+                {"params": params["speaker_lut"]}, batch["speaker_ids"]
+            )
+        return None
 
 
 def build_models(hp) -> Models:
     spk_type = hp.Speaker_Embedding.get("Type")
-    ge2e = GE2E.from_hp(hp) if spk_type == "GE2E" else None
-    return Models(tacotron=Tacotron.from_hp(hp), ge2e=ge2e)
+    return Models(
+        tacotron=Tacotron.from_hp(hp),
+        ge2e=GE2E.from_hp(hp) if spk_type == "GE2E" else None,
+        speaker_lut=SpeakerLUT.from_hp(hp) if spk_type == "LUT" else None,
+    )
 
 
 def init_state(hp, models: Models, rng: jax.Array, sample_batch: dict) -> TrainState:
@@ -68,6 +84,10 @@ def init_state(hp, models: Models, rng: jax.Array, sample_batch: dict) -> TrainS
         gvars = models.ge2e.init(rng_ge2e, refs)
         params["ge2e"] = gvars["params"]
         spk = models.ge2e.apply({"params": params["ge2e"]}, refs)
+    elif models.speaker_lut is not None:
+        ids = jnp.asarray(sample_batch["speaker_ids"])
+        params["speaker_lut"] = models.speaker_lut.init(rng_ge2e, ids)["params"]
+        spk = models.speaker_lut.apply({"params": params["speaker_lut"]}, ids)
     tvars = models.tacotron.init(
         {"params": rng_taco, "prenet": rng_prenet}, tokens, token_lengths, mels, spk
     )
@@ -96,9 +116,7 @@ def make_train_step(hp, models: Models):
         rng_prenet, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            spk = None
-            if models.ge2e is not None:
-                spk = models.ge2e.apply({"params": params["ge2e"]}, batch["ref_mels"])
+            spk = models.speaker_embedding(params, batch)
             outputs, mutated = models.tacotron.apply(
                 {
                     "params": params["tacotron"],
@@ -155,11 +173,7 @@ def make_eval_step(hp, models: Models):
     r = hp.Decoder.get("N_Frames_Per_Step", 1)
 
     def eval_step(state: TrainState, batch: dict, rng: jax.Array):
-        spk = None
-        if models.ge2e is not None:
-            spk = models.ge2e.apply(
-                {"params": state.params["ge2e"]}, batch["ref_mels"]
-            )
+        spk = models.speaker_embedding(state.params, batch)
         outputs = models.tacotron.apply(
             {
                 "params": state.params["tacotron"],

@@ -1,0 +1,128 @@
+"""LUT speaker conditioning, Grain loader, and the evaluate tool."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_speaker_tts_tpu.data import BucketBatcher, PatternDataset, generate_synthetic_dataset
+from multi_speaker_tts_tpu.models.speaker import SpeakerLUT
+from multi_speaker_tts_tpu.train import trainer as trainer_lib
+from multi_speaker_tts_tpu import evaluate as eval_lib
+
+
+@pytest.fixture(scope="module")
+def lut_hp(tiny_hp):
+    return tiny_hp.replace(
+        Speaker_Embedding={"Type": "LUT", "Embedding_Size": 16, "Num_Speakers": 8}
+    )
+
+
+@pytest.fixture(scope="module")
+def pattern_dir(tiny_hp, tmp_path_factory):
+    root = tmp_path_factory.mktemp("lutsynth")
+    generate_synthetic_dataset(tiny_hp, root, n_speakers=3, n_utterances=4)
+    return root / "patterns"
+
+
+def _batch(hp, pattern_dir, ref_window=None):
+    lh = hp.get("Linear_Head")
+    batcher = BucketBatcher(
+        PatternDataset(pattern_dir),
+        batch_size=4,
+        token_buckets=list(hp.Train.Batch_Bucketing.Token_Buckets),
+        mel_buckets=list(hp.Train.Batch_Bucketing.Mel_Buckets),
+        mel_dim=hp.Sound.Mel_Dim,
+        ref_window=ref_window,
+        spect_dim=hp.Sound.Spectrogram_Dim if (lh is not None and lh.Use) else None,
+        shuffle=False,
+    )
+    return next(iter(batcher))[1]
+
+
+def test_speaker_lut_unit_norm():
+    lut = SpeakerLUT(num_speakers=5, embedding_size=8)
+    params = lut.init(jax.random.PRNGKey(0), jnp.asarray([0, 1]))
+    emb = lut.apply(params, jnp.asarray([0, 1, 4]))
+    assert emb.shape == (3, 8)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+
+
+def test_lut_train_step(lut_hp, pattern_dir):
+    models = trainer_lib.build_models(lut_hp)
+    assert models.speaker_lut is not None and models.ge2e is None
+    batch = _batch(lut_hp, pattern_dir)
+    state = trainer_lib.init_state(lut_hp, models, jax.random.PRNGKey(0), batch)
+    assert "speaker_lut" in state.params
+    step = jax.jit(trainer_lib.make_train_step(lut_hp, models))
+    batch_dev = jax.tree.map(jnp.asarray, batch)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch_dev, jax.random.PRNGKey(1))
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_grain_loader(tiny_hp, pattern_dir):
+    from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+
+    batcher = BucketBatcher(
+        PatternDataset(pattern_dir),
+        batch_size=4,
+        token_buckets=list(tiny_hp.Train.Batch_Bucketing.Token_Buckets),
+        mel_buckets=list(tiny_hp.Train.Batch_Bucketing.Mel_Buckets),
+        mel_dim=tiny_hp.Sound.Mel_Dim,
+        ref_window=24,
+        shuffle=False,
+    )
+    loader = make_grain_loader(batcher, worker_count=0, num_epochs=1)
+    batches = list(loader)
+    assert batches, "grain loader yielded nothing"
+    for b in batches:
+        tb, mb = int(b["bucket"][0]), int(b["bucket"][1])
+        assert b["tokens"].shape == (4, tb)
+        assert b["mels"].shape == (4, mb, tiny_hp.Sound.Mel_Dim)
+        assert b["ref_mels"].shape == (4, 24, tiny_hp.Sound.Mel_Dim)
+
+
+def test_grain_loader_sharding(tiny_hp, pattern_dir):
+    from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+
+    batcher = BucketBatcher(
+        PatternDataset(pattern_dir), batch_size=2,
+        token_buckets=[32], mel_buckets=[256],
+        mel_dim=tiny_hp.Sound.Mel_Dim, shuffle=False,
+    )
+    n_total = len(list(make_grain_loader(batcher, 0, num_epochs=1)))
+    n_shard0 = len(list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=0, shard_count=2)))
+    n_shard1 = len(list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=1, shard_count=2)))
+    # Each host sees a disjoint, roughly equal subset; grain may pad or drop
+    # up to one record per shard at the boundary.
+    assert n_shard0 > 0 and n_shard1 > 0
+    assert abs(n_shard0 - n_shard1) <= 1
+    assert n_total - 2 <= n_shard0 + n_shard1 <= n_total + 2
+
+
+def test_evaluate_metrics(tiny_hp, pattern_dir):
+    models = trainer_lib.build_models(tiny_hp)
+    batch = _batch(
+        tiny_hp, pattern_dir,
+        ref_window=tiny_hp.Speaker_Embedding.GE2E.Window_Length,
+    )
+    state = trainer_lib.init_state(tiny_hp, models, jax.random.PRNGKey(0), batch)
+    metrics = eval_lib.evaluate(tiny_hp, state, models, str(pattern_dir), max_batches=2)
+    assert 0.0 <= metrics["attention_diagonality"] <= 1.0
+    assert np.isfinite(metrics["total"])
+    assert metrics["num_batches"] >= 1
+
+
+def test_attention_diagonality_ordering():
+    T = S = 10
+    diag = np.eye(T)[None]
+    flat = np.full((1, T, S), 1.0 / S)
+    lengths = np.asarray([T])
+    d_diag = eval_lib.attention_diagonality(diag, lengths, lengths)
+    d_flat = eval_lib.attention_diagonality(flat, lengths, lengths)
+    assert d_diag > 0.9 > d_flat

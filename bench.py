@@ -7,6 +7,10 @@ linear head, and 60-iteration Griffin-Lim vocoding. Audio-seconds generated
 per wall-second. Target >= 20x; vs_baseline is value / 20.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Secondary mode (``BENCH_MODE=train``): teacher-forced training throughput in
+mel frames/sec/chip (BASELINE.json:2's other metric; no reference number
+exists - measured 116k frames/s/chip at B=32, T=400, 44.3M params).
 """
 
 from __future__ import annotations
@@ -33,6 +37,10 @@ def main() -> None:
     from multi_speaker_tts_tpu.hparams import default_hparams
     from multi_speaker_tts_tpu.ops import stft_matmul
     from multi_speaker_tts_tpu.train import trainer as trainer_lib
+
+    if os.environ.get("BENCH_MODE") == "train":
+        _bench_train(jax, jnp, np, default_hparams, trainer_lib)
+        return
 
     # Constant-workload decode: threshold > 1 means sigmoid never crosses it,
     # so every utterance runs the full MAX_STEPS frames.
@@ -117,6 +125,57 @@ def main() -> None:
                 "value": round(x_realtime, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(x_realtime / 20.0, 3),
+            }
+        )
+    )
+
+
+def _bench_train(jax, jnp, np, default_hparams, trainer_lib) -> None:
+    """BENCH_MODE=train: teacher-forced training throughput."""
+    import json as _json
+    import time as _time
+
+    hp = default_hparams()
+    models = trainer_lib.build_models(hp)
+    B, S, T = 32, 100, 400
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": rng.integers(2, 30, size=(B, S)).astype(np.int32),
+        "token_lengths": np.full((B,), S, np.int32),
+        "mels": rng.uniform(0, 1, size=(B, T, hp.Sound.Mel_Dim)).astype(np.float32),
+        "mel_lengths": np.full((B,), T, np.int32),
+        "spects": rng.uniform(0, 1, size=(B, T, hp.Sound.Spectrogram_Dim)).astype(np.float32),
+        "ref_mels": rng.uniform(
+            0, 1, size=(B, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim)
+        ).astype(np.float32),
+        "speaker_ids": np.zeros((B,), np.int32),
+    }
+    state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer_lib.make_train_step(hp, models), donate_argnums=0)
+    bd = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, bd, key)
+    float(m["total"])  # sync (block_until_ready is a no-op on the tunnel)
+
+    def run(n, state):
+        t0 = _time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, bd, key)
+        float(m["total"])
+        return _time.perf_counter() - t0, state
+
+    a, state = run(1, state)
+    b, state = run(4, state)
+    per = (b - a) / 3
+    frames_per_sec = B * T / per
+    print(
+        _json.dumps(
+            {
+                "metric": "teacher_forced_train_mel_frames_per_sec_per_chip",
+                "value": round(frames_per_sec, 1),
+                "unit": "frames/sec",
+                "vs_baseline": None,
             }
         )
     )

@@ -1,0 +1,52 @@
+"""Multi-host (multi-slice) setup helpers.
+
+One real chip is available in this environment, so this module is exercised
+on the forced-host CPU mesh; the code paths are the standard JAX multi-host
+idioms: ``jax.distributed.initialize`` for the DCN control plane, a global
+1-D data mesh over all chips, per-host data sharding (each host feeds only
+its local batch shard - Grain's ShardOptions supply the indices), and
+``jax.make_array_from_process_local_data`` to assemble global arrays.
+Gradient allreduce stays inside the jitted step (GSPMD over ICI/DCN).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize the multi-host control plane. No-op in single-process runs
+    (TPU pod environments usually auto-detect all three arguments)."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_shard_info() -> tuple[int, int]:
+    """(shard_index, shard_count) for data loading on this host."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_batch_from_local(mesh, local_batch: dict) -> dict:
+    """Assemble a global (mesh-sharded) batch from this host's local shard.
+
+    Each host holds ``global_batch_size / process_count`` rows; the returned
+    arrays are jax.Arrays sharded over the mesh's data axis, usable directly
+    as jitted-step inputs.
+    """
+    sharding = mesh_lib.batch_sharding(mesh)
+    return {
+        key: jax.make_array_from_process_local_data(sharding, np.asarray(value))
+        for key, value in local_batch.items()
+    }

@@ -46,7 +46,11 @@ class Logger:
     def add_audio(self, tag: str, wav: np.ndarray, step: int, sample_rate: int) -> None:
         if self._writer is None:
             return
-        wav = np.asarray(wav, np.float32).reshape(-1, 1)
+        # flax's SummaryWriter.audio expects rank-3 (batch, samples, channels).
+        wav = np.asarray(wav, np.float32).reshape(1, -1, 1)
+        peak = np.abs(wav).max()
+        if peak > 1.0:
+            wav = wav / peak
         self._writer.audio(tag, wav, step, sample_rate=sample_rate, max_outputs=1)
 
     def flush(self) -> None:

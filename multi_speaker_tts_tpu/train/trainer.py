@@ -318,6 +318,11 @@ class Trainer:
                     and step % hp.Train.Evaluation_Interval == 0
                 ):
                     self.evaluate(eval_pattern_dir, step)
+                if (
+                    eval_pattern_dir is not None
+                    and step % hp.Train.get("Inference_Interval", 10**9) == 0
+                ):
+                    self.inference_step(eval_pattern_dir, step)
                 if step >= max_steps:
                     break
         self.save(step)
@@ -347,6 +352,55 @@ class Trainer:
             )
             return means
         return {}
+
+    def inference_step(self, pattern_dir: str, step: int) -> None:
+        """AR-synthesize one eval batch with the current weights and log
+        audio + alignment to TensorBoard (the reference's ``Inference_Step``,
+        SURVEY.md section 3.2)."""
+        from multi_speaker_tts_tpu.ops import stft_matmul
+
+        hp = self.hp
+        cfg = self.dsp_cfg
+        batcher = self.make_batcher(pattern_dir, shuffle=False)
+        try:
+            _, batch = next(iter(batcher))
+        except StopIteration:
+            return
+        spk = self.models.speaker_embedding(
+            self.state.params, jax.tree.map(jnp.asarray, batch)
+        )
+        max_steps = min(hp.Decoder.Max_Step, int(batch["mels"].shape[1]) * 2)
+        out = self.models.tacotron.apply(
+            {
+                "params": self.state.params["tacotron"],
+                "batch_stats": self.state.batch_stats["tacotron"],
+            },
+            jnp.asarray(batch["tokens"]),
+            jnp.asarray(batch["token_lengths"]),
+            spk,
+            max_steps,
+            hp.Decoder.Stop_Threshold,
+            method=self.models.tacotron.infer,
+            rngs={"prenet": jax.random.fold_in(self.rng, step)},
+        )
+        align = np.asarray(jax.device_get(out["alignments"][0]))
+        self.logger.add_image(
+            "Inference/Alignment", align / max(align.max(), 1e-6), step
+        )
+        if "linear" in out and cfg.n_fft % cfg.hop == 0:
+            mag = dsp.db_to_amp(
+                dsp.denormalize(out["linear"][:1], cfg.min_level_db)
+                + cfg.ref_level_db
+            )
+            length = cfg.hop * (mag.shape[-2] - 1)
+            wav = stft_matmul.griffin_lim_auto(
+                mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length
+            )
+            wav = np.asarray(jax.device_get(dsp.inv_preemphasis(wav, cfg.preemphasis)))[0]
+            T = int(jax.device_get(out["mel_lengths"][0]))
+            self.logger.add_audio(
+                "Inference/Audio", wav[: max(T - 1, 1) * cfg.hop], step, cfg.sample_rate
+            )
 
     def save(self, step: int) -> None:
         self.checkpoints.save(step, jax.device_get(self.state))

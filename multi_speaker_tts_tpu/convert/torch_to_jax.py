@@ -116,3 +116,31 @@ def _set_path(tree: dict, dotted: str, value) -> None:
     for k in keys[:-1]:
         node = node.setdefault(k, {})
     node[keys[-1]] = value
+
+
+def load_torch_checkpoint(path: str):
+    """Read a reference-style ``torch.save({'Model': state_dict, ...})`` file
+    and return (state_dict, extras). Requires torch (CPU build suffices)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "Model" in blob:
+        state_dict = blob["Model"]
+        extras = {k: v for k, v in blob.items() if k != "Model"}
+    elif isinstance(blob, dict) and all(hasattr(v, "shape") for v in blob.values()):
+        state_dict, extras = blob, {}
+    else:
+        raise ValueError(
+            f"unrecognized checkpoint structure: top-level keys {list(blob)[:8]}"
+        )
+    return state_dict, extras
+
+
+def convert_reference_checkpoint(path: str, mapping: Mapping[str, Rule],
+                                 strict: bool = True) -> dict:
+    """torch checkpoint file + mapping spec -> {'params', 'batch_stats'}."""
+    state_dict, extras = load_torch_checkpoint(path)
+    tree = convert_state_dict(state_dict, mapping, strict=strict)
+    if "Steps" in extras:
+        tree["step"] = int(extras["Steps"])
+    return tree

@@ -185,6 +185,8 @@ def tiny_test_hparams() -> HParams:
         },
         Train={
             "Batch_Size": 4,
+            "Num_Workers": 0,  # in-process loading; grain workers need a
+            # spawn-reimportable __main__, which pytest/stdin scripts lack
             "Max_Mel_Length": 64,
             "Max_Token_Length": 32,
             "Learning_Rate": {"Initial": 1e-3, "Warmup_Step": 10},

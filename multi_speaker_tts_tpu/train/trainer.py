@@ -279,6 +279,22 @@ class Trainer:
         if self.state is None:
             first = next(iter(batcher))[1]
             self.initialize(first)
+
+        def epoch_batches():
+            """One epoch of (shape, batch) pairs; Num_Workers > 0 moves batch
+            loading + collation into Grain worker processes."""
+            n_workers = hp.Train.get("Num_Workers", 0) or 0
+            if n_workers > 0:
+                from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+
+                for batch in make_grain_loader(
+                    batcher, worker_count=n_workers, num_epochs=1
+                ):
+                    batch = dict(batch)
+                    batch.pop("bucket", None)
+                    yield None, batch
+            else:
+                yield from batcher
         schedule = noam_schedule(
             hp.Train.Learning_Rate.Initial, hp.Train.Learning_Rate.Warmup_Step
         )
@@ -286,7 +302,7 @@ class Trainer:
         step = int(jax.device_get(self.state.step))
         t_last, frames_since = time.time(), 0
         while step < max_steps:
-            for _, batch in batcher:
+            for _, batch in epoch_batches():
                 if self.profile_steps and step == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.logger.log_dir / "profile"))
                 metrics = self.train_step(batch)

@@ -108,3 +108,30 @@ def test_convert_state_dict_strict_missing():
         cv.convert_state_dict(
             {}, {"a/b": (cv.convert_dense, ["nope.weight"])}, strict=True
         )
+
+
+def test_reference_checkpoint_file_roundtrip(tmp_path):
+    """A reference-style torch.save({'Model': ..., 'Steps': ...}) file loads
+    and converts end-to-end."""
+    lin = torch.nn.Linear(6, 3)
+    sd = {"proj.weight": lin.weight, "proj.bias": lin.bias}
+    path = tmp_path / "S_100.pt"
+    torch.save({"Model": sd, "Steps": 100, "Optimizer": {}}, path)
+
+    tree = cv.convert_reference_checkpoint(
+        str(path), {"tacotron/proj": (cv.convert_dense, ["proj.weight", "proj.bias"])}
+    )
+    assert tree["step"] == 100
+    kernel = tree["params"]["tacotron"]["proj"]["kernel"]
+    assert kernel.shape == (6, 3)
+    x = np.random.default_rng(0).normal(size=(2, 6)).astype(np.float32)
+    want = lin(torch.from_numpy(x)).detach().numpy()
+    got = x @ kernel + tree["params"]["tacotron"]["proj"]["bias"]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_load_torch_checkpoint_bad_structure(tmp_path):
+    path = tmp_path / "bad.pt"
+    torch.save([1, 2, 3], path)
+    with pytest.raises(ValueError, match="unrecognized checkpoint structure"):
+        cv.load_torch_checkpoint(str(path))

@@ -100,3 +100,24 @@ def test_checkpoint_roundtrip(tiny_hp, pattern_dir, tmp_path):
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_mixed_precision_train_step(tiny_hp, pattern_dir):
+    """Use_Mixed_Precision: bf16 matmuls with f32 state - step stays finite
+    and the loss decreases."""
+    hp = tiny_hp.replace(Train={"Use_Mixed_Precision": True})
+    models = trainer_lib.build_models(hp)
+    assert models.tacotron.compute_dtype == jnp.bfloat16
+    batch = _first_batch(hp, pattern_dir)
+    state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer_lib.make_train_step(hp, models))
+    batch_dev = jax.tree.map(jnp.asarray, batch)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch_dev, jax.random.PRNGKey(1))
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    # params stay f32 (mixed precision = compute-only downcast)
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32

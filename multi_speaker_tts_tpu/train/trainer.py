@@ -149,14 +149,28 @@ def make_train_step(hp, models: Models):
             grads, state.opt_state, state.params
         )
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        # In-graph NaN/Inf guard (SURVEY.md section 5 "failure detection"):
+        # a non-finite loss or gradient skips the whole update (params, opt
+        # state, batch stats) instead of poisoning the run - recovery without
+        # a restart, which is all the reference offers.
+        grad_norm = optax_global_norm(grads)
+        finite = jnp.isfinite(losses["total"]) & jnp.isfinite(grad_norm)
+
+        def pick(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old
+            )
+
         new_state = TrainState(
             step=state.step + 1,
-            params=new_params,
-            batch_stats={"tacotron": new_bs},
-            opt_state=new_opt_state,
+            params=pick(new_params, state.params),
+            batch_stats=pick({"tacotron": new_bs}, state.batch_stats),
+            opt_state=pick(new_opt_state, state.opt_state),
         )
         metrics = {k: v for k, v in losses.items()}
-        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return new_state, metrics
 
     return train_step
@@ -215,6 +229,12 @@ class Trainer:
         self.n_devices = self.mesh.devices.size
         self.train_step_fn = None  # jitted lazily (needs shardings)
         self.eval_step_fn = jax.jit(make_eval_step(hp, self.models))
+        if hp.Train.Batch_Size % self.n_devices != 0:
+            raise ValueError(
+                f"Train.Batch_Size ({hp.Train.Batch_Size}) must be divisible "
+                f"by the mesh size ({self.n_devices} devices); pass "
+                f"n_devices= to Trainer or adjust the batch size"
+            )
         self.logger = Logger(log_dir or hp.Log_Path)
         self.checkpoints = CheckpointManager(checkpoint_dir or hp.Checkpoint_Path)
         self.dsp_cfg = dsp.DSPConfig.from_hp(hp)

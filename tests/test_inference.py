@@ -1,0 +1,92 @@
+"""Synthesizer API tests (CPU: vocode exercises the GEMM fallback path)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from multi_speaker_tts_tpu.audio import wav_io
+from multi_speaker_tts_tpu.data import BucketBatcher, PatternDataset, generate_synthetic_dataset
+from multi_speaker_tts_tpu.inference import Synthesizer, _round_up
+from multi_speaker_tts_tpu.train import trainer as trainer_lib
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_hp, tmp_path_factory):
+    root = tmp_path_factory.mktemp("infsynth")
+    generate_synthetic_dataset(tiny_hp, root, n_speakers=2, n_utterances=3)
+    batcher = BucketBatcher(
+        PatternDataset(root / "patterns"),
+        batch_size=4,
+        token_buckets=list(tiny_hp.Train.Batch_Bucketing.Token_Buckets),
+        mel_buckets=list(tiny_hp.Train.Batch_Bucketing.Mel_Buckets),
+        mel_dim=tiny_hp.Sound.Mel_Dim,
+        ref_window=tiny_hp.Speaker_Embedding.GE2E.Window_Length,
+        spect_dim=tiny_hp.Sound.Spectrogram_Dim,
+        shuffle=False,
+    )
+    batch = next(iter(batcher))[1]
+    models = trainer_lib.build_models(tiny_hp)
+    state = trainer_lib.init_state(tiny_hp, models, jax.random.PRNGKey(0), batch)
+    synth = Synthesizer.from_state(tiny_hp, state)
+    return synth, root
+
+
+def test_enroll_from_paths_and_arrays(setup, tiny_hp):
+    synth, root = setup
+    emb1 = synth.enroll([str(root / "wavs" / "spk0_utt0.wav")])
+    wav, _ = wav_io.load_wav(root / "wavs" / "spk0_utt0.wav")
+    emb2 = synth.enroll([wav])
+    assert emb1.shape == (tiny_hp.Speaker_Embedding.Embedding_Size,)
+    np.testing.assert_allclose(np.linalg.norm(emb1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(emb1, emb2, atol=1e-5)
+
+
+def test_enroll_multiple_wavs_averages(setup, root_ignored=None):
+    synth, root = setup
+    a = synth.enroll([str(root / "wavs" / "spk0_utt0.wav")])
+    b = synth.enroll([str(root / "wavs" / "spk0_utt1.wav")])
+    both = synth.enroll(
+        [str(root / "wavs" / "spk0_utt0.wav"), str(root / "wavs" / "spk0_utt1.wav")]
+    )
+    mean = (a + b) / 2
+    mean = mean / np.linalg.norm(mean)
+    np.testing.assert_allclose(both, mean, atol=1e-5)
+
+
+def test_synthesize_without_vocode(setup):
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(0).normal(size=8000).astype(np.float32)])
+    out = synth.synthesize(["hello there", "hi"], spk, max_steps=16, vocode=False)
+    assert len(out) == 2
+    for item in out:
+        assert "wav" not in item
+        assert item["mel"].shape[0] == item["mel_length"]
+        assert item["mel"].shape[1] == synth.hp.Sound.Mel_Dim
+        assert "linear" in item
+
+
+def test_synthesize_with_vocode_fallback(setup):
+    """tiny hp hop=64 -> GEMM fallback vocoder on CPU; wav lengths track
+    mel lengths."""
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(1).normal(size=8000).astype(np.float32)])
+    out = synth.synthesize(["test"], spk, max_steps=16, vocode=True)[0]
+    assert np.isfinite(out["wav"]).all()
+    assert len(out["wav"]) == max(out["mel_length"] - 1, 1) * synth.dsp_cfg.hop
+
+
+def test_infer_cache_reuse(setup):
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(2).normal(size=8000).astype(np.float32)])
+    n0 = len(synth._infer_cache)
+    synth.synthesize(["aaa"], spk, max_steps=16, vocode=False)
+    n1 = len(synth._infer_cache)
+    synth.synthesize(["bbb"], spk, max_steps=16, vocode=False)  # same padded S
+    assert len(synth._infer_cache) == n1 > n0
+
+
+def test_round_up():
+    assert _round_up(1, 16) == 16
+    assert _round_up(16, 16) == 16
+    assert _round_up(17, 16) == 32

@@ -40,7 +40,7 @@ def test_trainer_inference_step_logs(tiny_hp, tmp_path):
     from multi_speaker_tts_tpu.train.trainer import Trainer
 
     hp = tiny_hp.replace(
-        Train={"Batch_Size": 4, "Logging_Interval": 100, "Checkpoint_Save_Interval": 100,
+        Train={"Batch_Size": 8, "Logging_Interval": 100, "Checkpoint_Save_Interval": 100,
                "Evaluation_Interval": 100, "Max_Step": 2},
     )
     generate_synthetic_dataset(hp, tmp_path / "c", n_speakers=2, n_utterances=3)

@@ -121,3 +121,30 @@ def test_mixed_precision_train_step(tiny_hp, pattern_dir):
     # params stay f32 (mixed precision = compute-only downcast)
     for leaf in jax.tree.leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_nan_guard_skips_update(tiny_hp, pattern_dir):
+    """A batch that produces a non-finite loss must leave params and opt
+    state untouched and report skipped_nonfinite=1."""
+    models = trainer_lib.build_models(tiny_hp)
+    batch = _first_batch(tiny_hp, pattern_dir)
+    state = trainer_lib.init_state(tiny_hp, models, jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer_lib.make_train_step(tiny_hp, models))
+
+    poisoned = dict(batch)
+    poisoned["mels"] = batch["mels"].copy()
+    poisoned["mels"][0, 0, 0] = np.nan
+    new_state, metrics = step(state, jax.tree.map(jnp.asarray, poisoned), jax.random.PRNGKey(1))
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == 1  # step counter still advances
+
+    # and a clean batch still updates
+    new_state2, metrics2 = step(state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1))
+    assert float(metrics2["skipped_nonfinite"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state2.params))
+    )
+    assert changed

@@ -107,9 +107,17 @@ class Synthesizer:
             # Pad to power-of-two length buckets: one compiled program covers
             # a 2x range of enrollment durations (remote TPU compiles are
             # ~minutes; a fresh one per wav length is unacceptable).
-            L = max(1 << int(np.ceil(np.log2(max(len(wav), 1)))),
-                    self.dsp_cfg.sample_rate // 2)
-            wav = np.pad(wav, (0, L - len(wav)))
+            #
+            # Padding mode matters: the GE2E embedding is the LAST frame's
+            # LSTM output (paper eq. 4), so a window whose tail reaches into
+            # ZERO padding embeds as silence and washes out the speaker.
+            # Wrap-padding (repeating the clip) keeps every sliding window
+            # full of real same-speaker speech - the standard short-
+            # enrollment trick - and makes the embedding invariant to the
+            # internal bucket length.
+            L = 1 << max(int(np.ceil(np.log2(max(len(wav), 2)))), 13)
+            wav = np.pad(wav, (0, L - len(wav)), mode="wrap")
+
             key = ("embed", L)
             if key not in self._embed_cache:
                 def fn(params, w):

@@ -300,21 +300,28 @@ class Trainer:
             first = next(iter(batcher))[1]
             self.initialize(first)
 
+        tp = hp.Train.get("Train_Pattern")
+        accumulated = int(tp.get("Accumulated_Dataset_Epoch", 1)) if tp else 1
+
         def epoch_batches():
-            """One epoch of (shape, batch) pairs; Num_Workers > 0 moves batch
-            loading + collation into Grain worker processes."""
+            """One "accumulated epoch" of (shape, batch) pairs - the dataset
+            repeated Accumulated_Dataset_Epoch times with independent
+            shuffles (reference knob: fewer epoch boundaries for tiny
+            datasets). Num_Workers > 0 moves batch loading + collation into
+            Grain worker processes."""
             n_workers = hp.Train.get("Num_Workers", 0) or 0
             if n_workers > 0:
                 from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
 
                 for batch in make_grain_loader(
-                    batcher, worker_count=n_workers, num_epochs=1
+                    batcher, worker_count=n_workers, num_epochs=accumulated
                 ):
                     batch = dict(batch)
                     batch.pop("bucket", None)
                     yield None, batch
             else:
-                yield from batcher
+                for _ in range(accumulated):
+                    yield from batcher
         schedule = noam_schedule(
             hp.Train.Learning_Rate.Initial, hp.Train.Learning_Rate.Warmup_Step
         )

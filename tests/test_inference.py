@@ -90,3 +90,20 @@ def test_round_up():
     assert _round_up(1, 16) == 16
     assert _round_up(16, 16) == 16
     assert _round_up(17, 16) == 32
+
+
+def test_enroll_invariant_to_internal_padding(setup):
+    """enroll wrap-pads wavs to pow2 length buckets; the embedding must not
+    depend on the bucket. A wav of exactly 8192 samples (no internal
+    padding) and the same wav +64 samples (wrap-padded internally to 16384)
+    must embed nearly identically. With zero padding this fails hard: the
+    GE2E embedding is the last LSTM frame, so silence-tailed windows embed
+    as silence (measured cosine 0.23 on a trained model before the fix)."""
+    synth, root = setup
+    wav, _ = wav_io.load_wav(root / "wavs" / "spk1_utt0.wav")
+    wav = np.tile(wav, 3)  # ensure > 8256 samples
+    exact = synth.enroll([wav[:8192]])
+    padded_inside = synth.enroll([wav[:8256]])
+    assert float(np.dot(exact, padded_inside)) > 0.95, (
+        "internal pow2 padding changed the speaker embedding"
+    )

@@ -21,6 +21,9 @@ def main() -> None:
     parser.add_argument("-checkpoint", default=None)
     parser.add_argument("-log", default=None)
     parser.add_argument("-max_step", type=int, default=None)
+    parser.add_argument("-ge2e_checkpoint", default=None,
+                        help="pretrained GE2E checkpoint dir (SV2TTS recipe)")
+    parser.add_argument("-freeze_ge2e", action="store_true")
     parser.add_argument("-profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-20")
     parser.add_argument("-debug_nans", action="store_true")
@@ -37,6 +40,16 @@ def main() -> None:
     from multi_speaker_tts_tpu.hparams import load_hyper_parameters
 
     hp = load_hyper_parameters(args.hyper_parameters)
+    if args.ge2e_checkpoint or args.freeze_ge2e:
+        hp = hp.replace(
+            Speaker_Embedding={
+                "GE2E": {
+                    **({"Pretrained_Checkpoint": args.ge2e_checkpoint}
+                       if args.ge2e_checkpoint else {}),
+                    **({"Freeze": True} if args.freeze_ge2e else {}),
+                }
+            }
+        )
     train_dir = args.train_pattern or hp.Train.Train_Pattern.Path
 
     if args.mode == "ge2e":

@@ -111,12 +111,18 @@ def make_train_step(hp, models: Models):
     ga = hp.Train.get("Guided_Attention")
     ga_sigma = ga.Sigma if (ga is not None and ga.Use) else None
     ga_weight = ga.Weight if (ga is not None and ga.Use) else 0.0
+    freeze_ge2e = bool(
+        models.ge2e is not None
+        and hp.Speaker_Embedding.GE2E.get("Freeze", False)
+    )
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng_prenet, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
             spk = models.speaker_embedding(params, batch)
+            if freeze_ge2e:
+                spk = jax.lax.stop_gradient(spk)
             outputs, mutated = models.tacotron.apply(
                 {
                     "params": params["tacotron"],
@@ -148,6 +154,11 @@ def make_train_step(hp, models: Models):
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
+        if freeze_ge2e:
+            # stop_gradient zeroes the grads; also null the updates so
+            # weight decay cannot drift the frozen encoder.
+            updates = dict(updates)
+            updates["ge2e"] = jax.tree.map(jnp.zeros_like, updates["ge2e"])
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
         # In-graph NaN/Inf guard (SURVEY.md section 5 "failure detection"):
@@ -271,6 +282,13 @@ class Trainer:
         if restored is not None:
             self.state = restored
             print(f"resumed from checkpoint step {step}")
+        elif self.models.ge2e is not None:
+            # SV2TTS recipe: initialize the speaker encoder from a
+            # GE2E-loss-pretrained checkpoint (SURVEY.md section 2: "GE2E
+            # encoder, possibly frozen/pretrained").
+            pre = self.hp.Speaker_Embedding.GE2E.get("Pretrained_Checkpoint")
+            if pre:
+                self.load_pretrained_ge2e(pre)
         self.state = mesh_lib.replicate(self.mesh, self.state)
         repl, shard = mesh_lib.data_parallel_shardings(self.mesh)
         self._jit_train_step = jax.jit(
@@ -280,6 +298,36 @@ class Trainer:
             donate_argnums=0,
         )
         return self.state
+
+    def load_pretrained_ge2e(self, checkpoint_dir: str) -> None:
+        """Graft encoder params from a GE2ETrainer checkpoint into the TTS
+        state (shapes must match the Speaker_Embedding config)."""
+        from multi_speaker_tts_tpu.train.ge2e_trainer import (
+            GE2ETrainState,
+            init_ge2e_state,
+        )
+
+        template = jax.eval_shape(
+            lambda: init_ge2e_state(
+                self.hp,
+                self.models.ge2e,
+                jax.random.PRNGKey(0),
+                jnp.zeros(
+                    (1, self.hp.Speaker_Embedding.GE2E.Window_Length,
+                     self.hp.Sound.Mel_Dim),
+                    jnp.float32,
+                ),
+            )
+        )
+        mgr = CheckpointManager(checkpoint_dir)
+        restored, step = mgr.restore(template)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"no GE2E checkpoint under {checkpoint_dir}")
+        params = dict(self.state.params)
+        params["ge2e"] = restored.params["encoder"]
+        self.state = self.state.replace(params=params)
+        print(f"loaded pretrained GE2E encoder from step {step}")
 
     def shard(self, batch: dict) -> dict:
         return mesh_lib.shard_batch(self.mesh, batch)

@@ -148,3 +148,48 @@ def test_nan_guard_skips_update(tiny_hp, pattern_dir):
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state2.params))
     )
     assert changed
+
+
+def test_frozen_pretrained_ge2e(tiny_hp, pattern_dir, tmp_path):
+    """SV2TTS recipe: GE2E pretrained with its own loss, loaded into the TTS
+    trainer, optionally frozen (params must not move)."""
+    from multi_speaker_tts_tpu.train.ge2e_trainer import GE2ETrainer
+
+    ge2e_hp = tiny_hp.replace(
+        GE2E_Train={"Batch_Speakers": 2, "Batch_Utterances": 2, "Frame_Length": 24,
+                    "Learning_Rate": 0.01, "Scale_Gradient": 0.01},
+    )
+    pre = GE2ETrainer(ge2e_hp, checkpoint_dir=tmp_path / "ge2e", log_dir=tmp_path / "gl")
+    pre.train(str(pattern_dir), max_steps=3, save_interval=3)
+
+    from multi_speaker_tts_tpu.train.trainer import Trainer
+
+    hp = tiny_hp.replace(
+        Train={"Batch_Size": 8, "Logging_Interval": 100,
+               "Checkpoint_Save_Interval": 100, "Evaluation_Interval": 100,
+               "Max_Step": 2},
+        Speaker_Embedding={"GE2E": {"Pretrained_Checkpoint": str(tmp_path / "ge2e"),
+                                    "Freeze": True}},
+    )
+    trainer = Trainer(hp, checkpoint_dir=tmp_path / "tts", log_dir=tmp_path / "tl")
+    batcher = trainer.make_batcher(str(pattern_dir))
+    trainer.initialize(next(iter(batcher))[1])
+
+    # grafted params equal the pretrained encoder's
+    pre_leaves = jax.tree.leaves(jax.device_get(pre.state).params["encoder"])
+    got_leaves = jax.tree.leaves(jax.device_get(trainer.state).params["ge2e"])
+    for a, b in zip(pre_leaves, got_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # one train step: frozen encoder must not move, synthesizer must
+    before = jax.device_get(trainer.state.params)
+    _, batch = next(iter(batcher))
+    trainer.train_step(batch)
+    after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before["ge2e"]), jax.tree.leaves(after["ge2e"])):
+        np.testing.assert_array_equal(a, b)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(before["tacotron"]), jax.tree.leaves(after["tacotron"]))
+    )
+    assert moved

@@ -350,34 +350,38 @@ class Trainer:
 
         tp = hp.Train.get("Train_Pattern")
         accumulated = int(tp.get("Accumulated_Dataset_Epoch", 1)) if tp else 1
+        n_workers = hp.Train.get("Num_Workers", 0) or 0
 
-        def epoch_batches():
-            """One "accumulated epoch" of (shape, batch) pairs - the dataset
-            repeated Accumulated_Dataset_Epoch times with independent
-            shuffles (reference knob: fewer epoch boundaries for tiny
-            datasets). Num_Workers > 0 moves batch loading + collation into
-            Grain worker processes."""
-            n_workers = hp.Train.get("Num_Workers", 0) or 0
+        def batch_stream():
+            """Endless stream of training batches. With Num_Workers > 0,
+            batches come from ONE long-lived Grain loader (recreating the
+            worker pool per epoch costs a pool spawn every few steps on
+            small datasets - measured 30x slowdown); otherwise the in-process
+            batcher is iterated epoch by epoch (Accumulated_Dataset_Epoch
+            repeats per reshuffle, the reference's knob)."""
             if n_workers > 0:
                 from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
 
-                for batch in make_grain_loader(
-                    batcher, worker_count=n_workers, num_epochs=accumulated
-                ):
+                loader = make_grain_loader(
+                    batcher, worker_count=n_workers, num_epochs=None
+                )
+                for batch in loader:
                     batch = dict(batch)
                     batch.pop("bucket", None)
-                    yield None, batch
+                    yield batch
             else:
-                for _ in range(accumulated):
-                    yield from batcher
+                while True:
+                    for _ in range(accumulated):
+                        for _, batch in batcher:
+                            yield batch
         schedule = noam_schedule(
             hp.Train.Learning_Rate.Initial, hp.Train.Learning_Rate.Warmup_Step
         )
 
         step = int(jax.device_get(self.state.step))
         t_last, frames_since = time.time(), 0
-        while step < max_steps:
-            for _, batch in epoch_batches():
+        if step < max_steps:
+            for batch in batch_stream():
                 if self.profile_steps and step == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.logger.log_dir / "profile"))
                 metrics = self.train_step(batch)

@@ -107,3 +107,19 @@ def test_enroll_invariant_to_internal_padding(setup):
     assert float(np.dot(exact, padded_inside)) > 0.95, (
         "internal pow2 padding changed the speaker embedding"
     )
+
+
+def test_synthesize_sharded_over_mesh(setup, tiny_hp):
+    """Per-chip utterance sharding through the Synthesizer API (BASELINE
+    config 5): results must match the unsharded path."""
+    from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
+
+    synth, root = setup
+    synth.mesh = mesh_lib.create_mesh()
+    spk = synth.enroll([np.random.default_rng(3).normal(size=8000).astype(np.float32)])
+    texts = ["shard me"] * 8
+    sharded = synth.synthesize(texts, spk, max_steps=16, vocode=False, sharded=True)
+    plain = synth.synthesize(texts, spk, max_steps=16, vocode=False, sharded=False)
+    assert len(sharded) == 8
+    np.testing.assert_allclose(sharded[0]["mel"], plain[0]["mel"], atol=1e-4)
+    synth.mesh = None

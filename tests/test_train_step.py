@@ -193,3 +193,47 @@ def test_frozen_pretrained_ge2e(tiny_hp, pattern_dir, tmp_path):
         for a, b in zip(jax.tree.leaves(before["tacotron"]), jax.tree.leaves(after["tacotron"]))
     )
     assert moved
+
+
+def test_reduction_factor_train_step(tiny_hp, pattern_dir):
+    """r = N_Frames_Per_Step > 1: decoder emits r frames per step; the train
+    step stays finite and the loss decreases."""
+    hp = tiny_hp.replace(Decoder={"N_Frames_Per_Step": 2})
+    models = trainer_lib.build_models(hp)
+    from multi_speaker_tts_tpu.data import BucketBatcher, PatternDataset
+
+    batcher = BucketBatcher(
+        PatternDataset(pattern_dir),
+        batch_size=hp.Train.Batch_Size,
+        token_buckets=list(hp.Train.Batch_Bucketing.Token_Buckets),
+        mel_buckets=list(hp.Train.Batch_Bucketing.Mel_Buckets),
+        mel_dim=hp.Sound.Mel_Dim,
+        n_frames_per_step=2,
+        ref_window=hp.Speaker_Embedding.GE2E.Window_Length,
+        spect_dim=hp.Sound.Spectrogram_Dim,
+        shuffle=False,
+    )
+    batch = next(iter(batcher))[1]
+    assert batch["mels"].shape[1] % 2 == 0
+    state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer_lib.make_train_step(hp, models))
+    bd = jax.tree.map(jnp.asarray, batch)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, bd, jax.random.PRNGKey(1))
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    # prenet dropout makes single steps noisy; compare window means
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+    # AR inference with r=2: stop logits come per step (T/r of them)
+    out = models.tacotron.apply(
+        {"params": state.params["tacotron"],
+         "batch_stats": state.batch_stats["tacotron"]},
+        bd["tokens"], bd["token_lengths"],
+        models.speaker_embedding(state.params, bd), 32, 0.5,
+        method=models.tacotron.infer,
+        rngs={"prenet": jax.random.PRNGKey(2)},
+    )
+    assert out["mel_post"].shape[1] == 32
+    assert out["stop_logits"].shape[1] == 16  # 32 frames / r=2 steps

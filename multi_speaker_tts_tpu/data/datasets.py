@@ -103,7 +103,12 @@ def collate_tts(
                 start = int(rng.integers(0, src.shape[0] - ref_window + 1))
                 refs[i] = src[start : start + ref_window]
             else:
-                refs[i, : src.shape[0]] = src
+                # Wrap-pad short clips (matches inference.enroll): a GE2E
+                # window ending in zero padding embeds as silence, skewing
+                # the training-time speaker conditioning distribution.
+                refs[i] = np.pad(
+                    src, ((0, ref_window - src.shape[0]), (0, 0)), mode="wrap"
+                )
     batch = {
         "tokens": tokens,
         "token_lengths": token_lengths,
@@ -206,12 +211,18 @@ class GE2EBatchSampler:
         self.M = m_utterances
         self.L = frame_length
         self.rng = np.random.default_rng(seed)
+        # A speaker needs >= 2 distinct utterances: sampling M with
+        # replacement from one utterance makes the leave-one-out centroid
+        # degenerate (cosine 1 against itself), biasing the loss toward
+        # trivial positives (GE2E batches are N speakers x M *distinct*
+        # utterances, Wan et al. section 2.1).
         self.eligible = [
-            s for s, idxs in dataset.indices_by_speaker.items() if len(idxs) >= 1
+            s for s, idxs in dataset.indices_by_speaker.items() if len(idxs) >= 2
         ]
         if len(self.eligible) < n_speakers:
             raise ValueError(
-                f"need >= {n_speakers} speakers, dataset has {len(self.eligible)}"
+                f"need >= {n_speakers} speakers with >= 2 utterances each, "
+                f"dataset has {len(self.eligible)}"
             )
 
     def sample(self) -> dict[str, np.ndarray]:

@@ -2,50 +2,86 @@
 tf.data/Grain pipeline with length-bucketing").
 
 The bucketing *plan* (which utterances form which static-shape batch) is
-computed up front by the same logic as ``BucketBatcher``; Grain contributes
+computed per epoch by the same logic as ``BucketBatcher``; Grain contributes
 what the pure-Python loader lacks: parallel worker processes that load +
 collate whole batches off the training thread, with prefetch, plus
-deterministic per-epoch shuffling and multi-host sharding via
-``grain.sharding.ShardOptions`` (each host reads only its shard of batches -
-the DCN side of the data path, SURVEY.md section 2 "Distributed
-communication backend").
+deterministic multi-host sharding via ``grain.sharding.ShardOptions`` (each
+host reads only its shard of batches - the DCN side of the data path,
+SURVEY.md section 2 "Distributed communication backend").
+
+Epoch semantics: the source's index space is ``epoch_len * virtual_epochs``
+records; record i belongs to virtual epoch ``i // epoch_len``, whose plan is
+built lazily (and cached) with an epoch-keyed rng - so batch *membership*,
+batch *order*, and the GE2E ref-mel crop rng all vary per epoch, exactly like
+the in-process ``BucketBatcher`` path. The sampler iterates sequentially
+(shuffling already happened inside the plan), which also makes multi-host
+sharding a plain disjoint partition of batches.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from multi_speaker_tts_tpu.data.datasets import BucketBatcher, PatternDataset, collate_tts
+from multi_speaker_tts_tpu.data.datasets import BucketBatcher, collate_tts
+
+# Number of distinct epoch plans before the cycle repeats; effectively
+# "never" for real runs while keeping __len__ a sane integer.
+VIRTUAL_EPOCHS = 2**16
 
 
 class _BatchPlanSource:
-    """Random-access source over a precomputed bucketing plan; one record =
+    """Random-access source over epoch-keyed bucketing plans; one record =
     one fully collated, statically-shaped batch."""
 
-    def __init__(self, batcher: BucketBatcher, seed: int = 0):
+    def __init__(self, batcher: BucketBatcher, seed: int = 0,
+                 virtual_epochs: int = VIRTUAL_EPOCHS):
         self.batcher = batcher
-        # Materialize the epoch plan once (deterministic under the seed).
-        self.plan = []
-        rng = np.random.default_rng(seed)
-        for shape, idxs in batcher.assignment.items():
-            idxs = list(idxs)
+        self.seed = seed
+        self.virtual_epochs = virtual_epochs
+        # Batch count per epoch is plan-independent: chunk counts depend only
+        # on bucket membership sizes, which are fixed.
+        bs = batcher.batch_size
+        self.epoch_len = sum(
+            -(-len(idxs) // bs) for idxs in batcher.assignment.values()
+        )
+        self._plan_cache: dict[int, list] = {}
+
+    def _plan(self, epoch: int) -> list:
+        """Build (or fetch) the shuffled batch plan for one virtual epoch."""
+        plan = self._plan_cache.get(epoch)
+        if plan is not None:
+            return plan
+        rng = np.random.default_rng([self.seed, epoch])
+        plan = []
+        bs = self.batcher.batch_size
+        for shape in sorted(self.batcher.assignment.keys()):
+            idxs = list(self.batcher.assignment[shape])
             rng.shuffle(idxs)
-            bs = batcher.batch_size
             for k in range(0, len(idxs), bs):
                 chunk = idxs[k : k + bs]
                 if len(chunk) < bs:
                     chunk = (chunk * bs)[:bs]
-                self.plan.append((shape, chunk))
+                plan.append((shape, chunk))
+        rng.shuffle(plan)
+        # Keep only the current + previous epoch (workers walk epochs in
+        # order; prefetch can straddle one boundary).
+        self._plan_cache = {
+            e: p for e, p in self._plan_cache.items() if e >= epoch - 1
+        }
+        self._plan_cache[epoch] = plan
+        return plan
 
     def __len__(self) -> int:
-        return len(self.plan)
+        return self.epoch_len * self.virtual_epochs
 
     def __getitem__(self, i: int):
-        (tb, mb), chunk = self.plan[i]
+        epoch, pos = divmod(i, self.epoch_len)
+        (tb, mb), chunk = self._plan(epoch)[pos]
         patterns = [self.batcher.ds[j] for j in chunk]
         batch = collate_tts(
             patterns, tb, mb, self.batcher.mel_dim, self.batcher.r,
-            self.batcher.ref_window, np.random.default_rng(i),
+            self.batcher.ref_window,
+            np.random.default_rng([self.seed, epoch, pos]),
             self.batcher.spect_dim,
         )
         batch["bucket"] = np.asarray([tb, mb], np.int32)
@@ -63,18 +99,24 @@ def make_grain_loader(
     """Grain DataLoader yielding collated batches with worker parallelism.
 
     ``shard_index/shard_count``: multi-host data sharding (each host consumes
-    a disjoint subset of batches).
+    a disjoint subset of batches). ``num_epochs`` counts passes over the
+    *dataset* (each with fresh batch membership/order/crops); None = run
+    forever (the Trainer's long-lived loader).
     """
     import grain.python as gp
 
-    source = _BatchPlanSource(batcher, seed)
+    source = _BatchPlanSource(
+        batcher, seed, virtual_epochs=num_epochs or VIRTUAL_EPOCHS
+    )
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=gp.ShardOptions(
             shard_index=shard_index, shard_count=shard_count, drop_remainder=False
         ),
-        shuffle=True,
-        num_epochs=num_epochs,
+        # Order/membership shuffling lives in the epoch-keyed plan; the
+        # sampler walks indices sequentially so epoch boundaries are honest.
+        shuffle=False,
+        num_epochs=1 if num_epochs else None,
         seed=seed,
     )
     return gp.DataLoader(

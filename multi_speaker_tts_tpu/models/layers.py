@@ -98,7 +98,3 @@ class Prenet(nn.Module):
                 x, rng=self.make_rng("prenet")
             )
         return x
-
-
-class ZoneoutLSTMState(nn.Module):
-    pass  # placeholder for potential zoneout variant (not in reference)

@@ -108,9 +108,7 @@ def make_train_step(hp, models: Models):
     """Returns a jittable (state, batch, rng) -> (state, metrics) function."""
     optimizer = make_optimizer(hp)
     r = hp.Decoder.get("N_Frames_Per_Step", 1)
-    ga = hp.Train.get("Guided_Attention")
-    ga_sigma = ga.Sigma if (ga is not None and ga.Use) else None
-    ga_weight = ga.Weight if (ga is not None and ga.Use) else 0.0
+    ga_sigma, ga_weight = resolve_guided_attention(hp)
     freeze_ge2e = bool(
         models.ge2e is not None
         and hp.Speaker_Embedding.GE2E.get("Freeze", False)
@@ -193,9 +191,23 @@ def optax_global_norm(tree) -> jax.Array:
     )
 
 
+def resolve_guided_attention(hp) -> tuple[float | None, float]:
+    """(sigma, weight) as the training objective uses them: (None, 0.0)
+    when guided attention is disabled, so eval totals match train totals."""
+    ga = hp.Train.get("Guided_Attention")
+    if ga is not None and ga.Use:
+        return ga.Sigma, ga.Weight
+    return None, 0.0
+
+
 def make_eval_step(hp, models: Models):
-    """Teacher-forced eval (no dropout/BN update, prenet still stochastic)."""
+    """Teacher-forced eval (no dropout/BN update, prenet still stochastic).
+
+    Uses the same loss configuration as the train step (including the
+    guided-attention sigma/weight resolution) so 'total' is directly
+    comparable between Train/ and Evaluation/ curves."""
     r = hp.Decoder.get("N_Frames_Per_Step", 1)
+    ga_sigma, ga_weight = resolve_guided_attention(hp)
 
     def eval_step(state: TrainState, batch: dict, rng: jax.Array):
         spk = models.speaker_embedding(state.params, batch)
@@ -217,6 +229,8 @@ def make_eval_step(hp, models: Models):
             batch["token_lengths"],
             spects=batch.get("spects"),
             n_frames_per_step=r,
+            guided_attention_sigma=ga_sigma,
+            guided_attention_weight=ga_weight,
         )
         return losses, outputs
 

@@ -87,6 +87,70 @@ def test_grain_loader(tiny_hp, pattern_dir):
         assert b["ref_mels"].shape == (4, 24, tiny_hp.Sound.Mel_Dim)
 
 
+def test_eval_total_matches_train_objective(tiny_hp, pattern_dir):
+    """Round-1 bug: make_eval_step silently applied the default guided-
+    attention term even when disabled. Eval 'total' must be the exact
+    training objective under both GA settings."""
+    ref_w = tiny_hp.Speaker_Embedding.GE2E.Window_Length
+
+    def run(hp):
+        models = trainer_lib.build_models(hp)
+        batch = _batch(hp, pattern_dir, ref_window=ref_w)
+        state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), batch)
+        eval_step = jax.jit(trainer_lib.make_eval_step(hp, models))
+        losses, _ = eval_step(
+            state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1)
+        )
+        return jax.device_get(losses)
+
+    hp_off = tiny_hp.replace(Train={"Guided_Attention": {"Use": False}})
+    losses = run(hp_off)
+    assert "guided_attention" not in losses
+    base = losses["mel_pre"] + losses["mel_post"] + losses["stop"] + losses.get("linear", 0.0)
+    np.testing.assert_allclose(losses["total"], base, rtol=1e-6)
+
+    hp_on = tiny_hp.replace(
+        Train={"Guided_Attention": {"Use": True, "Sigma": 0.4, "Weight": 2.0}}
+    )
+    losses = run(hp_on)
+    base = losses["mel_pre"] + losses["mel_post"] + losses["stop"] + losses.get("linear", 0.0)
+    np.testing.assert_allclose(
+        losses["total"], base + 2.0 * losses["guided_attention"], rtol=1e-6
+    )
+
+
+def test_grain_loader_epochs_vary(tiny_hp, pattern_dir):
+    """Round-1 bug: the Grain path froze batch membership and ref-mel crops
+    for the whole run. With epoch-keyed plans, both batch composition and
+    GE2E crops must differ across epochs in worker_count>0 mode."""
+    from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+
+    batcher = BucketBatcher(
+        PatternDataset(pattern_dir), batch_size=2,
+        token_buckets=[32], mel_buckets=[256],
+        mel_dim=tiny_hp.Sound.Mel_Dim, ref_window=24, shuffle=True,
+    )
+    loader = make_grain_loader(batcher, worker_count=2, num_epochs=2)
+    batches = list(loader)
+    assert len(batches) % 2 == 0 and len(batches) >= 4
+    n = len(batches) // 2
+    epochs = [batches[:n], batches[n:]]
+
+    def membership(epoch):
+        # One fingerprint per batch: the set of utterances in it.
+        return sorted(
+            tuple(sorted(map(bytes, b["tokens"]))) for b in epoch
+        )
+
+    assert membership(epochs[0]) != membership(epochs[1]), (
+        "batch composition identical across epochs"
+    )
+    crops = [
+        {np.asarray(b["ref_mels"]).tobytes() for b in e} for e in epochs
+    ]
+    assert crops[0] != crops[1], "GE2E ref-mel crops identical across epochs"
+
+
 def test_grain_loader_sharding(tiny_hp, pattern_dir):
     from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
 

@@ -24,8 +24,6 @@ SURVEY.md section 7 environment note).
 
 from __future__ import annotations
 
-import math
-
 
 def _torch():
     import torch

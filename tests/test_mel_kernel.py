@@ -44,3 +44,20 @@ def test_mel_kernel_nondivisible_tiles(cfg, wav):
 def test_mel_kernel_rejects_bad_length(cfg):
     with pytest.raises(AssertionError, match="hop multiple"):
         melspectrogram_pallas(jnp.zeros((1, 1001)), cfg)
+
+
+def test_mel_kernel_non_lane_aligned_hop(speech_like_wav):
+    """hop=200 (16 kHz house style, NOT a 128 multiple): runs the fused
+    kernel via lane-padded row blocks instead of silently falling back
+    (VERDICT round-1 item 7)."""
+    hp = default_hparams(
+        Sound={"Frame_Length": 800, "Frame_Shift": 200, "Spectrogram_Dim": 401,
+               "Sample_Rate": 16000}
+    )
+    cfg = dsp.DSPConfig.from_hp(hp)
+    L = (16000 // cfg.hop) * cfg.hop
+    wav = np.stack([speech_like_wav[:L], speech_like_wav[500 : 500 + L]])
+    got = np.asarray(melspectrogram_pallas(jnp.asarray(wav), cfg, tile_t=16))
+    want = np.asarray(dsp.melspectrogram(jnp.asarray(wav), cfg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -62,7 +62,7 @@ def collate_tts(
     mel_dim: int,
     n_frames_per_step: int = 1,
     ref_window: int | None = None,
-    rng: np.random.Generator | None = None,
+    rng: np.random.Generator | list[np.random.Generator] | None = None,
     spect_dim: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Pad a list of patterns to the static bucket shape.
@@ -70,6 +70,10 @@ def collate_tts(
     Returns tokens (B,S), token_lengths, mels (B,T,M), mel_lengths,
     speaker_ids, and (if ref_window) a fixed-length reference mel crop per
     item for GE2E conditioning.
+
+    ``rng`` may be one shared Generator, or a list with one Generator per
+    item - the multi-host path uses per-item rngs so a host collating only
+    its row slice draws exactly the crops the full-batch collate would.
     """
     B = len(patterns)
     assert mel_bucket % n_frames_per_step == 0
@@ -99,8 +103,9 @@ def collate_tts(
         speaker_ids[i] = p.get("Speaker_ID", 0)
         if refs is not None:
             src = p.get("Ref_Mel", p["Mel"])
+            r_i = rng[i] if isinstance(rng, list) else rng
             if src.shape[0] >= ref_window:
-                start = int(rng.integers(0, src.shape[0] - ref_window + 1))
+                start = int(r_i.integers(0, src.shape[0] - ref_window + 1))
                 refs[i] = src[start : start + ref_window]
             else:
                 # Wrap-pad short clips (matches inference.enroll): a GE2E

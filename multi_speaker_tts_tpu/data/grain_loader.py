@@ -31,13 +31,31 @@ VIRTUAL_EPOCHS = 2**16
 
 class _BatchPlanSource:
     """Random-access source over epoch-keyed bucketing plans; one record =
-    one fully collated, statically-shaped batch."""
+    one fully collated, statically-shaped batch (this host's row slice).
+
+    Multi-host sharding (``shard_index/shard_count``) slices *rows*, not
+    records: every host walks the identical plan - so the static bucket
+    shape each host feeds its jitted step is the same at every global step
+    (bucket-shape lockstep; a per-host record split could hand host 0 a
+    (32, 256) program and host 1 a (16, 128) one and deadlock the SPMD
+    step) - and collates only its ``batch_size/shard_count`` rows. Per-item
+    crop rngs are keyed (seed, epoch, pos, row) so the assembled global
+    batch is bit-identical to the single-host batch.
+    """
 
     def __init__(self, batcher: BucketBatcher, seed: int = 0,
-                 virtual_epochs: int = VIRTUAL_EPOCHS):
+                 virtual_epochs: int = VIRTUAL_EPOCHS,
+                 shard_index: int = 0, shard_count: int = 1):
+        if batcher.batch_size % shard_count != 0:
+            raise ValueError(
+                f"batch_size ({batcher.batch_size}) must be divisible by "
+                f"shard_count ({shard_count})"
+            )
         self.batcher = batcher
         self.seed = seed
         self.virtual_epochs = virtual_epochs
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         # Batch count per epoch is plan-independent: chunk counts depend only
         # on bucket membership sizes, which are fixed.
         bs = batcher.batch_size
@@ -77,12 +95,16 @@ class _BatchPlanSource:
     def __getitem__(self, i: int):
         epoch, pos = divmod(i, self.epoch_len)
         (tb, mb), chunk = self._plan(epoch)[pos]
-        patterns = [self.batcher.ds[j] for j in chunk]
+        local_bs = self.batcher.batch_size // self.shard_count
+        lo = self.shard_index * local_bs
+        rows = range(lo, lo + local_bs)
+        patterns = [self.batcher.ds[chunk[r]] for r in rows]
+        item_rngs = [
+            np.random.default_rng([self.seed, epoch, pos, r]) for r in rows
+        ]
         batch = collate_tts(
             patterns, tb, mb, self.batcher.mel_dim, self.batcher.r,
-            self.batcher.ref_window,
-            np.random.default_rng([self.seed, epoch, pos]),
-            self.batcher.spect_dim,
+            self.batcher.ref_window, item_rngs, self.batcher.spect_dim,
         )
         batch["bucket"] = np.asarray([tb, mb], np.int32)
         return batch
@@ -98,21 +120,22 @@ def make_grain_loader(
 ):
     """Grain DataLoader yielding collated batches with worker parallelism.
 
-    ``shard_index/shard_count``: multi-host data sharding (each host consumes
-    a disjoint subset of batches). ``num_epochs`` counts passes over the
-    *dataset* (each with fresh batch membership/order/crops); None = run
-    forever (the Trainer's long-lived loader).
+    ``shard_index/shard_count``: multi-host data sharding - every host walks
+    the same plan (same bucket shape per global step) and collates its
+    disjoint ``batch_size/shard_count`` row slice; assemble the global batch
+    with ``parallel.multihost.global_batch_from_local``. ``num_epochs``
+    counts passes over the *dataset* (each with fresh batch membership/
+    order/crops); None = run forever (the Trainer's long-lived loader).
     """
     import grain.python as gp
 
     source = _BatchPlanSource(
-        batcher, seed, virtual_epochs=num_epochs or VIRTUAL_EPOCHS
+        batcher, seed, virtual_epochs=num_epochs or VIRTUAL_EPOCHS,
+        shard_index=shard_index, shard_count=shard_count,
     )
     sampler = gp.IndexSampler(
         num_records=len(source),
-        shard_options=gp.ShardOptions(
-            shard_index=shard_index, shard_count=shard_count, drop_remainder=False
-        ),
+        shard_options=gp.NoSharding(),  # sharding is by rows, in the source
         # Order/membership shuffling lives in the epoch-keyed plan; the
         # sampler walks indices sequentially so epoch boundaries are honest.
         shuffle=False,

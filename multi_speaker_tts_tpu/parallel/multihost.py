@@ -33,6 +33,19 @@ def initialize_distributed(
     )
 
 
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used once before the first training collective: per-host setup skew
+    (Grain worker spawn, checkpoint probing) can exceed the CPU/Gloo
+    rendezvous timeout if one host launches its first psum tens of seconds
+    before another."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def host_shard_info() -> tuple[int, int]:
     """(shard_index, shard_count) for data loading on this host."""
     return jax.process_index(), jax.process_count()

@@ -27,6 +27,14 @@ def main() -> None:
     parser.add_argument("-profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-20")
     parser.add_argument("-debug_nans", action="store_true")
+    parser.add_argument("-distributed", action="store_true",
+                        help="multi-host training: initialize the JAX "
+                        "distributed control plane before building the "
+                        "Trainer (TPU pods auto-detect the coordinator)")
+    parser.add_argument("-coordinator", default=None,
+                        help="coordinator address host:port (auto on pods)")
+    parser.add_argument("-num_processes", type=int, default=None)
+    parser.add_argument("-process_id", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -36,6 +44,18 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.distributed:
+        from multi_speaker_tts_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" with {jax.local_device_count()} local devices"
+        )
 
     from multi_speaker_tts_tpu.hparams import load_hyper_parameters
 

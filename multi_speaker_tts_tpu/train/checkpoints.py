@@ -16,13 +16,31 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     """Step-indexed checkpoint save/restore over a pytree train state."""
 
-    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 5):
+    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 5,
+                 active_processes: set[int] | None = None):
+        """``active_processes``: restrict Orbax's multiprocess coordination
+        to a subset of hosts. The Trainer's multi-host path runs the whole
+        manager on process 0 only (state is replicated; the others receive
+        it by broadcast) - concurrent same-directory managers otherwise
+        deadlock Orbax's commit barriers."""
         self.directory = pathlib.Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        # Passing multiprocessing_options=None breaks Orbax's handlers; the
+        # kwarg must be omitted entirely in the default case.
+        mp_kwargs = {}
+        if active_processes is not None:
+            mp_kwargs["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=min(active_processes),
+                active_processes=active_processes,
+            )
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                # create=True + active_processes is unsupported; the mkdir
+                # above already created the root either way.
+                create=active_processes is None,
+                **mp_kwargs,
             ),
         )
 

@@ -60,3 +60,21 @@ class Logger:
     def close(self) -> None:
         if self._writer is not None:
             self._writer.close()
+
+
+class NullLogger(Logger):
+    """No-op logger for non-main processes in multi-host runs (only process
+    0 writes TensorBoard events; every host still computes the metrics)."""
+
+    def __init__(self, log_dir: str | pathlib.Path):
+        self.log_dir = pathlib.Path(log_dir)
+        self._writer = None
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

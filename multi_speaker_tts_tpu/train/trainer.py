@@ -31,7 +31,7 @@ from multi_speaker_tts_tpu.models.speaker import SpeakerLUT
 from multi_speaker_tts_tpu.models import losses as losses_lib
 from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
 from multi_speaker_tts_tpu.train.checkpoints import CheckpointManager
-from multi_speaker_tts_tpu.train.logger import Logger
+from multi_speaker_tts_tpu.train.logger import Logger, NullLogger
 from multi_speaker_tts_tpu.train.optim import make_optimizer, noam_schedule
 
 
@@ -70,38 +70,45 @@ def build_models(hp) -> Models:
 
 
 def init_state(hp, models: Models, rng: jax.Array, sample_batch: dict) -> TrainState:
-    """Initialize parameters from a (host) sample batch's shapes."""
-    rng_taco, rng_ge2e, rng_prenet = jax.random.split(rng, 3)
-    tokens = jnp.asarray(sample_batch["tokens"])
-    token_lengths = jnp.asarray(sample_batch["token_lengths"])
-    mels = jnp.asarray(sample_batch["mels"])
+    """Initialize parameters from a (host) sample batch's shapes.
 
-    params = {}
-    batch_stats = {}
-    spk = None
-    if models.ge2e is not None:
-        refs = jnp.asarray(sample_batch["ref_mels"])
-        gvars = models.ge2e.init(rng_ge2e, refs)
-        params["ge2e"] = gvars["params"]
-        spk = models.ge2e.apply({"params": params["ge2e"]}, refs)
-    elif models.speaker_lut is not None:
-        ids = jnp.asarray(sample_batch["speaker_ids"])
-        params["speaker_lut"] = models.speaker_lut.init(rng_ge2e, ids)["params"]
-        spk = models.speaker_lut.apply({"params": params["speaker_lut"]}, ids)
-    tvars = models.tacotron.init(
-        {"params": rng_taco, "prenet": rng_prenet}, tokens, token_lengths, mels, spk
-    )
-    params["tacotron"] = tvars["params"]
-    batch_stats["tacotron"] = tvars.get("batch_stats", {})
-
+    The whole initialization is ONE jitted program: flax's eager module init
+    issues thousands of individual device ops, which costs minutes over a
+    tunneled remote TPU (~30 ms per op round trip)."""
     optimizer = make_optimizer(hp)
-    opt_state = optimizer.init(params)
-    return TrainState(
-        step=jnp.zeros([], jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=opt_state,
-    )
+
+    def build(rng, arrays: dict) -> TrainState:
+        rng_taco, rng_ge2e, rng_prenet = jax.random.split(rng, 3)
+        params = {}
+        batch_stats = {}
+        spk = None
+        if models.ge2e is not None:
+            refs = arrays["ref_mels"]
+            gvars = models.ge2e.init(rng_ge2e, refs)
+            params["ge2e"] = gvars["params"]
+            spk = models.ge2e.apply({"params": params["ge2e"]}, refs)
+        elif models.speaker_lut is not None:
+            ids = arrays["speaker_ids"]
+            params["speaker_lut"] = models.speaker_lut.init(rng_ge2e, ids)["params"]
+            spk = models.speaker_lut.apply({"params": params["speaker_lut"]}, ids)
+        tvars = models.tacotron.init(
+            {"params": rng_taco, "prenet": rng_prenet},
+            arrays["tokens"], arrays["token_lengths"], arrays["mels"], spk,
+        )
+        params["tacotron"] = tvars["params"]
+        batch_stats["tacotron"] = tvars.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros([], jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=optimizer.init(params),
+        )
+
+    keys = ("tokens", "token_lengths", "mels", "ref_mels", "speaker_ids")
+    arrays = {
+        k: jnp.asarray(v) for k, v in sample_batch.items() if k in keys
+    }
+    return jax.jit(build)(rng, arrays)
 
 
 def make_train_step(hp, models: Models):
@@ -252,6 +259,18 @@ class Trainer:
         self.models = build_models(hp)
         self.mesh = mesh_lib.create_mesh(n_devices)
         self.n_devices = self.mesh.devices.size
+        # Multi-host (SURVEY.md section 5 "Distributed comm backend" DCN
+        # side): each host loads its disjoint row slice of every global
+        # batch; the caller must have run multihost.initialize_distributed
+        # (the CLI's -distributed flag) before constructing the Trainer.
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_main = self.process_index == 0
+        if hp.Train.Batch_Size % max(self.process_count, 1) != 0:
+            raise ValueError(
+                f"Train.Batch_Size ({hp.Train.Batch_Size}) must be divisible "
+                f"by the process count ({self.process_count})"
+            )
         self.train_step_fn = None  # jitted lazily (needs shardings)
         self.eval_step_fn = jax.jit(make_eval_step(hp, self.models))
         if hp.Train.Batch_Size % self.n_devices != 0:
@@ -260,8 +279,20 @@ class Trainer:
                 f"by the mesh size ({self.n_devices} devices); pass "
                 f"n_devices= to Trainer or adjust the batch size"
             )
-        self.logger = Logger(log_dir or hp.Log_Path)
-        self.checkpoints = CheckpointManager(checkpoint_dir or hp.Checkpoint_Path)
+        self.logger = (Logger if self.is_main else NullLogger)(
+            log_dir or hp.Log_Path
+        )
+        # Multi-host: ONLY process 0 owns an Orbax manager, scoped to itself
+        # (active_processes={0}); state is replicated, so its host copy is
+        # the whole checkpoint and the other hosts receive restored state by
+        # broadcast in initialize(). Concurrent same-directory managers
+        # deadlock Orbax's multiprocess commit barriers - measured.
+        self.checkpoints = None
+        if self.is_main:
+            self.checkpoints = CheckpointManager(
+                checkpoint_dir or hp.Checkpoint_Path,
+                active_processes={0} if self.process_count > 1 else None,
+            )
         self.dsp_cfg = dsp.DSPConfig.from_hp(hp)
         self.state: TrainState | None = None
         self.rng = jax.random.PRNGKey(hp.get("Seed", 0) or 0)
@@ -292,17 +323,28 @@ class Trainer:
     # -- state -----------------------------------------------------------
     def initialize(self, sample_batch: dict) -> TrainState:
         self.state = init_state(self.hp, self.models, self.rng, sample_batch)
-        restored, step = self.checkpoints.restore(self.state)
-        if restored is not None:
-            self.state = restored
-            print(f"resumed from checkpoint step {step}")
-        elif self.models.ge2e is not None:
-            # SV2TTS recipe: initialize the speaker encoder from a
-            # GE2E-loss-pretrained checkpoint (SURVEY.md section 2: "GE2E
-            # encoder, possibly frozen/pretrained").
-            pre = self.hp.Speaker_Embedding.GE2E.get("Pretrained_Checkpoint")
-            if pre:
-                self.load_pretrained_ge2e(pre)
+        if self.is_main:
+            restored, step = self.checkpoints.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                print(f"resumed from checkpoint step {step}")
+            elif self.models.ge2e is not None:
+                # SV2TTS recipe: initialize the speaker encoder from a
+                # GE2E-loss-pretrained checkpoint (SURVEY.md section 2:
+                # "GE2E encoder, possibly frozen/pretrained").
+                pre = self.hp.Speaker_Embedding.GE2E.get("Pretrained_Checkpoint")
+                if pre:
+                    self.load_pretrained_ge2e(pre)
+        if self.process_count > 1:
+            # Process 0's host state (fresh init, checkpoint resume, or
+            # GE2E graft - whichever happened) becomes everyone's state:
+            # one broadcast guarantees bit-identical replication regardless
+            # of which initialization path ran.
+            from jax.experimental import multihost_utils
+
+            self.state = multihost_utils.broadcast_one_to_all(
+                jax.device_get(self.state)
+            )
         self.state = mesh_lib.replicate(self.mesh, self.state)
         repl, shard = mesh_lib.data_parallel_shardings(self.mesh)
         self._jit_train_step = jax.jit(
@@ -344,7 +386,23 @@ class Trainer:
         print(f"loaded pretrained GE2E encoder from step {step}")
 
     def shard(self, batch: dict) -> dict:
+        """Place a host batch on the mesh. Single-process: device_put with
+        the batch sharding. Multi-host: ``batch`` is this host's row slice;
+        assemble the global array from the per-process shards."""
+        if self.process_count > 1:
+            from multi_speaker_tts_tpu.parallel import multihost
+
+            return multihost.global_batch_from_local(self.mesh, batch)
         return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _local_rows(self, batch: dict) -> dict:
+        """This host's contiguous row slice of a full global batch (the
+        in-process loader materializes full batches on every host)."""
+        if self.process_count <= 1:
+            return batch
+        local_bs = self.hp.Train.Batch_Size // self.process_count
+        lo = self.process_index * local_bs
+        return {k: v[lo : lo + local_bs] for k, v in batch.items()}
 
     def train_step(self, batch: dict):
         self.state, metrics = self._jit_train_step(
@@ -375,27 +433,40 @@ class Trainer:
             repeats per reshuffle, the reference's knob)."""
             if n_workers > 0:
                 from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+                from multi_speaker_tts_tpu.parallel import multihost
 
+                shard_index, shard_count = multihost.host_shard_info()
                 loader = make_grain_loader(
-                    batcher, worker_count=n_workers, num_epochs=None
+                    batcher, worker_count=n_workers, num_epochs=None,
+                    shard_index=shard_index, shard_count=shard_count,
                 )
                 for batch in loader:
                     batch = dict(batch)
                     batch.pop("bucket", None)
                     yield batch
             else:
+                # In-process loading: every host materializes the identical
+                # full batch (same seed) and slices its rows.
                 while True:
                     for _ in range(accumulated):
                         for _, batch in batcher:
-                            yield batch
+                            yield self._local_rows(batch)
         schedule = noam_schedule(
             hp.Train.Learning_Rate.Initial, hp.Train.Learning_Rate.Warmup_Step
         )
 
         step = int(jax.device_get(self.state.step))
         t_last, frames_since = time.time(), 0
+        synced = self.process_count <= 1
         if step < max_steps:
             for batch in batch_stream():
+                if not synced:
+                    # Align hosts after per-host setup (worker spawn etc.)
+                    # so the first psum's rendezvous cannot time out.
+                    from multi_speaker_tts_tpu.parallel import multihost
+
+                    multihost.barrier("first_batch")
+                    synced = True
                 if self.profile_steps and step == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.logger.log_dir / "profile"))
                 metrics = self.train_step(batch)
@@ -446,7 +517,7 @@ class Trainer:
             if count >= max_batches:
                 break
             losses, outputs = self.eval_step_fn(
-                self.state, self.shard(batch), self.rng
+                self.state, self.shard(self._local_rows(batch)), self.rng
             )
             losses = jax.device_get(losses)
             for k, v in losses.items():
@@ -455,10 +526,13 @@ class Trainer:
         if count:
             means = {k: v / count for k, v in totals.items()}
             self.logger.add_scalar_dict("Evaluation/Loss", means, step)
-            align = np.asarray(jax.device_get(outputs["alignments"][0]))
-            self.logger.add_image(
-                "Evaluation/Alignment", align / max(align.max(), 1e-6), step
-            )
+            if self.process_count == 1:
+                # Batch-sharded outputs are not host-indexable on a
+                # multi-host mesh; alignment images are single-host only.
+                align = np.asarray(jax.device_get(outputs["alignments"][0]))
+                self.logger.add_image(
+                    "Evaluation/Alignment", align / max(align.max(), 1e-6), step
+                )
             return means
         return {}
 
@@ -466,6 +540,10 @@ class Trainer:
         """AR-synthesize one eval batch with the current weights and log
         audio + alignment to TensorBoard (the reference's ``Inference_Step``,
         SURVEY.md section 3.2)."""
+        if self.process_count > 1:
+            # Eager (non-jitted) apply on process-spanning global arrays is
+            # invalid; periodic audio samples are a single-host luxury.
+            return
         from multi_speaker_tts_tpu.ops import stft_matmul
 
         hp = self.hp
@@ -512,4 +590,9 @@ class Trainer:
             )
 
     def save(self, step: int) -> None:
-        self.checkpoints.save(step, jax.device_get(self.state))
+        # Process 0's manager is scoped to itself (active_processes={0}):
+        # its host copy of the replicated state is the whole checkpoint and
+        # no cross-process barrier runs (SURVEY.md section 5 "Checkpoint /
+        # resume").
+        if self.is_main:
+            self.checkpoints.save(step, jax.device_get(self.state))

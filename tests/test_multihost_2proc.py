@@ -1,0 +1,141 @@
+"""Real 2-process multi-host training test (VERDICT round-1 item 2).
+
+Two OS processes, each with 2 forced-host CPU devices, join via
+``jax.distributed`` (local coordinator) and run the full Trainer path:
+Grain loader with host row-sharding -> global batch assembly -> jitted DP
+step over the 4-device global mesh. The final loss must match a
+single-process run over the same 4-device mesh and the same global batches
+(SURVEY.md section 5 "Distributed comm backend": ICI/DCN allreduce inside
+jit, DCN only for host data sharding).
+"""
+
+import os
+import pathlib
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from multi_speaker_tts_tpu.data import generate_synthetic_dataset
+from multi_speaker_tts_tpu.hparams import tiny_test_hparams
+
+_WORKER = r"""
+import sys
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    coordinator, num_processes, process_id, pattern_dir, ckpt_dir = sys.argv[1:6]
+    num_processes, process_id = int(num_processes), int(process_id)
+    if num_processes > 1:
+        from multi_speaker_tts_tpu.parallel.multihost import initialize_distributed
+        initialize_distributed(coordinator, num_processes, process_id)
+    assert jax.device_count() == 4, jax.devices()
+
+    from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
+    from multi_speaker_tts_tpu.hparams import tiny_test_hparams
+    from multi_speaker_tts_tpu.parallel import multihost
+    from multi_speaker_tts_tpu.train.trainer import Trainer
+
+    hp = tiny_test_hparams().replace(
+        Train={"Batch_Size": 4, "Guided_Attention": {"Use": False}},
+    )
+    trainer = Trainer(hp, checkpoint_dir=ckpt_dir, log_dir=ckpt_dir + "/logs")
+    # The multihost-specific machinery, driven directly (CPU/Gloo collective
+    # latency makes the full Trainer loop too slow for a unit test): the
+    # host-row-sharded Grain loader, broadcast initialization, the jitted DP
+    # step over the global mesh, and the process-0-scoped checkpoint save.
+    si, sc = multihost.host_shard_info()
+    loader = make_grain_loader(
+        trainer.make_batcher(pattern_dir), worker_count=0, num_epochs=1,
+        shard_index=si, shard_count=sc,
+    )
+    batches = []
+    for batch in loader:
+        batch = dict(batch)
+        batch.pop("bucket", None)
+        batches.append(batch)
+        if len(batches) == 3:
+            break
+    trainer.initialize(batches[0])
+    multihost.barrier("init")
+    metrics = None
+    for batch in batches:
+        metrics = trainer.train_step(batch)
+    trainer.save(3)
+    print("FINAL_LOSS", float(jax.device_get(metrics["total"])), flush=True)
+    # The long-lived Grain loader + distributed service threads keep the
+    # interpreter alive at shutdown; the checkpoint is already committed.
+    import os
+    os._exit(0)
+
+if __name__ == "__main__":
+    main()
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(script: pathlib.Path, coordinator: str, num_processes: int,
+            process_id: int, pattern_dir: str, ckpt_dir: str,
+            local_devices: int) -> tuple[subprocess.Popen, pathlib.Path]:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Output goes to a FILE, not a pipe: XLA's stderr chatter can fill a
+    # 64 KB pipe while the parent waits on the sibling process, blocking the
+    # writer before it reaches the first collective -> distributed deadlock.
+    log = script.parent / f"proc_{num_processes}_{process_id}.log"
+    proc = subprocess.Popen(
+        [sys.executable, str(script), coordinator, str(num_processes),
+         str(process_id), pattern_dir, ckpt_dir],
+        stdout=open(log, "w"), stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    return proc, log
+
+
+def _final_loss(output: str) -> float:
+    m = re.search(r"FINAL_LOSS ([\d.eE+-]+)", output)
+    assert m, f"no FINAL_LOSS in output:\n{output[-3000:]}"
+    return float(m.group(1))
+
+
+def test_two_process_training_matches_single_process(tmp_path, tiny_hp):
+    generate_synthetic_dataset(tiny_hp, tmp_path, n_speakers=3, n_utterances=4)
+    pattern_dir = str(tmp_path / "patterns")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+
+    # Single-process reference: one process, 4 local devices.
+    p, log = _launch(script, "", 1, 0, pattern_dir, str(tmp_path / "ckpt1"), 4)
+    assert p.wait(timeout=240) == 0, log.read_text()[-3000:]
+    loss_single = _final_loss(log.read_text())
+
+    # Two processes x 2 local devices, same 4-device global mesh.
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        _launch(script, coordinator, 2, pid, pattern_dir,
+                str(tmp_path / "ckpt2"), 2)
+        for pid in range(2)
+    ]
+    for p, log in procs:
+        assert p.wait(timeout=240) == 0, log.read_text()[-3000:]
+    losses = [_final_loss(log.read_text()) for _, log in procs]
+
+    # Every process reports the same (replicated) loss, and it matches the
+    # single-process run on the identical global batch sequence.
+    assert np.isclose(losses[0], losses[1], rtol=1e-6), losses
+    assert np.isclose(losses[0], loss_single, rtol=1e-4, atol=1e-5), (
+        losses[0], loss_single,
+    )

@@ -157,16 +157,21 @@ def test_grain_loader_sharding(tiny_hp, pattern_dir):
     batcher = BucketBatcher(
         PatternDataset(pattern_dir), batch_size=2,
         token_buckets=[32], mel_buckets=[256],
-        mel_dim=tiny_hp.Sound.Mel_Dim, shuffle=False,
+        mel_dim=tiny_hp.Sound.Mel_Dim, ref_window=24, shuffle=False,
     )
-    n_total = len(list(make_grain_loader(batcher, 0, num_epochs=1)))
-    n_shard0 = len(list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=0, shard_count=2)))
-    n_shard1 = len(list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=1, shard_count=2)))
-    # Each host sees a disjoint, roughly equal subset; grain may pad or drop
-    # up to one record per shard at the boundary.
-    assert n_shard0 > 0 and n_shard1 > 0
-    assert abs(n_shard0 - n_shard1) <= 1
-    assert n_total - 2 <= n_shard0 + n_shard1 <= n_total + 2
+    full = list(make_grain_loader(batcher, 0, num_epochs=1))
+    shard0 = list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=0, shard_count=2))
+    shard1 = list(make_grain_loader(batcher, 0, num_epochs=1, shard_index=1, shard_count=2))
+    # Row sharding: every host walks the SAME plan (bucket-shape lockstep),
+    # each holding a disjoint row slice; stacking the slices reproduces the
+    # full batch bit-exactly (crop rngs are per-item).
+    assert len(shard0) == len(shard1) == len(full)
+    for b_full, b0, b1 in zip(full, shard0, shard1):
+        np.testing.assert_array_equal(b0["bucket"], b1["bucket"])
+        for key in ("tokens", "mels", "mel_lengths", "ref_mels"):
+            np.testing.assert_array_equal(
+                b_full[key], np.concatenate([b0[key], b1[key]], axis=0)
+            )
 
 
 def test_evaluate_metrics(tiny_hp, pattern_dir):

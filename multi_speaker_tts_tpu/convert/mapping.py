@@ -18,6 +18,7 @@ from multi_speaker_tts_tpu.convert.torch_to_jax import (
     convert_conv1d,
     convert_dense,
     convert_embedding,
+    convert_gru,
     convert_lstm,
     convert_reference_checkpoint,
 )
@@ -110,14 +111,46 @@ def tacotron_mapping(hp, jax_root: str = "tacotron") -> dict[str, Rule]:
             f"postnet.convs.{i}", f"postnet.norms.{i}",
         ))
 
-    # Linear branch (optional).
+    # Linear branch (optional): CBHG (reference design) or conv stand-in.
     lh = hp.get("Linear_Head")
     if lh is not None and lh.Use:
-        for i in range(lh.Conv.Stacks):
-            m.update(_conv_bn_rules(
-                f"{jax_root}/linear_head/conv_{i}",
-                f"linear_head.convs.{i}", f"linear_head.norms.{i}",
-            ))
+        if lh.get("Type", "Conv") == "CBHG":
+            cb = lh.CBHG
+            root = f"{jax_root}/linear_head/cbhg"
+            for i in range(cb.Bank_K):
+                m.update(_conv_bn_rules(
+                    f"{root}/bank_{i}",
+                    f"linear_head.cbhg.bank.{i}",
+                    f"linear_head.cbhg.bank_norms.{i}",
+                ))
+            for j in range(2):
+                m.update(_conv_bn_rules(
+                    f"{root}/proj_{j}",
+                    f"linear_head.cbhg.projs.{j}",
+                    f"linear_head.cbhg.proj_norms.{j}",
+                ))
+            if hp.Sound.Mel_Dim != cb.Highway.Size:
+                m[f"{root}/pre_highway"] = (
+                    convert_dense, _dense_keys("linear_head.cbhg.pre_highway"),
+                )
+            for i in range(cb.Highway.Layers):
+                for gate in ("H", "T"):
+                    m[f"{root}/highway_{i}/{gate}"] = (
+                        convert_dense,
+                        _dense_keys(f"linear_head.cbhg.highways.{i}.{gate}"),
+                    )
+            m[f"{root}/gru/forward"] = (
+                convert_gru, _lstm_keys("linear_head.cbhg.gru", 0),
+            )
+            m[f"{root}/gru/backward"] = (
+                convert_gru, _lstm_keys("linear_head.cbhg.gru", 0, reverse=True),
+            )
+        else:
+            for i in range(lh.Conv.Stacks):
+                m.update(_conv_bn_rules(
+                    f"{jax_root}/linear_head/conv_{i}",
+                    f"linear_head.convs.{i}", f"linear_head.norms.{i}",
+                ))
         m[f"{jax_root}/linear_head/projection"] = (
             convert_dense, _dense_keys("linear_head.projection"),
         )

@@ -82,13 +82,13 @@ def build_reference_tacotron(hp):
     prenet_sizes = list(hp.Decoder.Prenet.Sizes)
     prenet_dropout = hp.Decoder.Prenet.Dropout_Rate
 
-    from multi_speaker_tts_tpu.text import symbols
+    from multi_speaker_tts_tpu.text import vocab_size
 
     class Encoder(nn.Module):
         def __init__(self):
             super().__init__()
             e = hp.Encoder
-            self.embedding = nn.Embedding(len(symbols), e.Embedding_Size)
+            self.embedding = nn.Embedding(vocab_size(hp), e.Embedding_Size)
             convs, norms = [], []
             ch_in = e.Embedding_Size
             for _ in range(e.Conv.Stacks):
@@ -229,6 +229,82 @@ def build_reference_tacotron(hp):
                 x = F.dropout(x, hp.Postnet.Conv.Dropout_Rate, self.training)
             return x.transpose(1, 2)
 
+    class Highway(nn.Module):
+        def __init__(self, size):
+            super().__init__()
+            self.H = nn.Linear(size, size)
+            self.T = nn.Linear(size, size)
+            nn.init.constant_(self.T.bias, -1.0)
+
+        def forward(self, x):
+            t = torch.sigmoid(self.T(x))
+            return F.relu(self.H(x)) * t + x * (1.0 - t)
+
+    class CBHG(nn.Module):
+        """Taco1 section 3.1 CBHG. Padding mirrors XLA SAME semantics so
+        even-kernel bank convs and the w=2 max-pool match the JAX model:
+        total pad k-1 split (left=(k-1)//2, right=k//2)."""
+
+        def __init__(self, in_dim, cfg):
+            super().__init__()
+            K, C = cfg.Bank_K, cfg.Bank_Channels
+            P = cfg.Projection_Channels
+            self.bank = nn.ModuleList(
+                nn.Conv1d(in_dim, C, k) for k in range(1, K + 1)
+            )
+            self.bank_norms = nn.ModuleList(
+                nn.BatchNorm1d(C, momentum=0.1) for _ in range(K)
+            )
+            self.projs = nn.ModuleList(
+                [nn.Conv1d(K * C, P, 3, padding=1),
+                 nn.Conv1d(P, in_dim, 3, padding=1)]
+            )
+            self.proj_norms = nn.ModuleList(
+                [nn.BatchNorm1d(P, momentum=0.1),
+                 nn.BatchNorm1d(in_dim, momentum=0.1)]
+            )
+            H = cfg.Highway.Size
+            self.pre_highway = (
+                nn.Linear(in_dim, H) if in_dim != H else nn.Identity()
+            )
+            self.highways = nn.ModuleList(
+                Highway(H) for _ in range(cfg.Highway.Layers)
+            )
+            self.gru = nn.GRU(
+                H, cfg.GRU_Size // 2, batch_first=True, bidirectional=True
+            )
+
+        def forward(self, x):  # (B, T, D) -> (B, T, gru_size)
+            xc = x.transpose(1, 2)  # (B, D, T)
+            outs = []
+            for k, (conv, norm) in enumerate(
+                zip(self.bank, self.bank_norms), start=1
+            ):
+                padded = F.pad(xc, ((k - 1) // 2, k // 2))
+                outs.append(F.relu(norm(conv(padded))))
+            y = torch.cat(outs, dim=1)  # (B, K*C, T)
+            y = F.max_pool1d(
+                F.pad(y, (0, 1), value=float("-inf")), 2, stride=1
+            )
+            y = F.relu(self.proj_norms[0](self.projs[0](y)))
+            y = self.proj_norms[1](self.projs[1](y))
+            y = y.transpose(1, 2) + x  # residual
+            y = self.pre_highway(y)
+            for hw in self.highways:
+                y = hw(y)
+            out, _ = self.gru(y)
+            return out
+
+    class CBHGHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cfg = hp.Linear_Head.CBHG
+            self.cbhg = CBHG(mel_dim, cfg)
+            self.projection = nn.Linear(cfg.GRU_Size, hp.Sound.Spectrogram_Dim)
+
+        def forward(self, mel):
+            return self.projection(self.cbhg(mel))
+
     class LinearHead(nn.Module):
         def __init__(self):
             super().__init__()
@@ -261,7 +337,10 @@ def build_reference_tacotron(hp):
             self.postnet = Postnet()
             lh = hp.get("Linear_Head")
             if lh is not None and lh.Use:
-                self.linear_head = LinearHead()
+                self.linear_head = (
+                    CBHGHead() if lh.get("Type", "Conv") == "CBHG"
+                    else LinearHead()
+                )
 
         def forward(self, tokens, token_lengths, teacher_mels, speaker_embedding=None):
             memory = self.encoder(tokens)

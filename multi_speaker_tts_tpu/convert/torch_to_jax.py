@@ -61,6 +61,20 @@ def convert_lstm(weight_ih, weight_hh, bias_ih=None, bias_hh=None) -> dict:
     return {"w_ih": w_ih, "w_hh": w_hh, "b": b.astype(w_ih.dtype)}
 
 
+def convert_gru(weight_ih, weight_hh, bias_ih, bias_hh) -> dict:
+    """torch GRU layer -> {w_ih (D, 3H), w_hh (H, 3H), b_ih, b_hh}.
+
+    Unlike the LSTM, the two bias vectors are kept separate: b_hn sits
+    inside the reset-gate product n = tanh(W_in x + b_in + r (W_hn h + b_hn))
+    (see ops.gru), so summing them changes the math."""
+    return {
+        "w_ih": _np(weight_ih).T.copy(),
+        "w_hh": _np(weight_hh).T.copy(),
+        "b_ih": _np(bias_ih).copy(),
+        "b_hh": _np(bias_hh).copy(),
+    }
+
+
 def convert_batchnorm(weight, bias, running_mean, running_var) -> tuple[dict, dict]:
     """torch BatchNorm1d -> (flax params {scale, bias}, batch_stats {mean, var})."""
     params = {"scale": _np(weight).copy(), "bias": _np(bias).copy()}

@@ -72,9 +72,7 @@ def _process_one(args):
         wav = (wav / peak) * 0.99
         mel = oracle.melspectrogram(wav, hp)
         spect = oracle.spectrogram(wav, hp)
-        tokens = text_frontend.text_to_sequence(
-            transcript, hp.Tokens.get("Cleaners", ("english_cleaners",))
-        )
+        tokens = text_frontend.encode_text(transcript, hp)
         if len(tokens) < 2:
             return None
         pattern = {

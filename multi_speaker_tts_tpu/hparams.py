@@ -181,6 +181,14 @@ def tiny_test_hparams() -> HParams:
         Postnet={"Conv": {"Stacks": 2, "Channels": 32, "Kernel_Size": 5, "Dropout_Rate": 0.5}},
         Linear_Head={
             "Use": True,
+            "Type": "Conv",  # tests that want CBHG override Type + CBHG dims
+            "CBHG": {
+                "Bank_K": 4,
+                "Bank_Channels": 16,
+                "Projection_Channels": 16,
+                "Highway": {"Layers": 2, "Size": 16},
+                "GRU_Size": 16,
+            },
             "Conv": {"Stacks": 1, "Channels": 32, "Kernel_Size": 5, "Dropout_Rate": 0.5},
         },
         Train={

@@ -35,6 +35,15 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _decode_bucket(estimate: int, max_step: int, floor: int = 64) -> int:
+    """Smallest pow2-style bucket >= estimate, in [floor, max_step]: one
+    compiled decode program covers a 2x range of utterance lengths."""
+    bucket = floor
+    while bucket < min(estimate, max_step):
+        bucket *= 2
+    return min(bucket, max_step)
+
+
 class Synthesizer:
     """High-level text -> waveform engine with zero-shot speaker cloning."""
 
@@ -156,15 +165,22 @@ class Synthesizer:
         vocode: bool = True,
         sharded: bool = False,
         speaker_ids=None,  # alternative to speaker_embedding for LUT models
+        early_exit: bool = True,
     ) -> list[dict]:
-        """Texts -> list of {wav, mel, linear, alignment, mel_length}."""
+        """Texts -> list of {wav, mel, linear, alignment, mel_length}.
+
+        ``max_steps=None`` picks a pow2 decode-length bucket from the batch's
+        longest text (Decoder.Max_Frames_Per_Token frames per token, default
+        12), so short utterances don't pay for Max_Step; combined with the
+        decoder's stop-aware early exit, wall time tracks speech length.
+        Compiled programs are cached per (bucket, batch, token) shape."""
         hp = self.hp
-        max_steps = max_steps or hp.Decoder.Max_Step
-        sequences = [
-            text_frontend.text_to_sequence(t, hp.Tokens.get("Cleaners", ("english_cleaners",)))
-            for t in texts
-        ]
+        sequences = [text_frontend.encode_text(t, hp) for t in texts]
         B = len(sequences)
+        if max_steps is None:
+            per_token = int(hp.Decoder.get("Max_Frames_Per_Token", 12))
+            est = max(len(s) for s in sequences) * per_token
+            max_steps = _decode_bucket(est, hp.Decoder.Max_Step)
         S = _round_up(max(len(s) for s in sequences), 16)
         tokens = np.full((B, S), PAD_ID, np.int32)
         lengths = np.zeros((B,), np.int32)
@@ -182,9 +198,11 @@ class Synthesizer:
             if spk.ndim == 1:
                 spk = np.tile(spk[None], (B, 1))
 
-        key = ("infer", S, B, max_steps, vocode, sharded)
+        key = ("infer", S, B, max_steps, vocode, sharded, early_exit)
         if key not in self._infer_cache:
-            self._infer_cache[key] = self._build_infer(S, max_steps, vocode, sharded)
+            self._infer_cache[key] = self._build_infer(
+                S, max_steps, vocode, sharded, early_exit
+            )
         out = self._infer_cache[key](
             self.params,
             self.batch_stats,
@@ -211,7 +229,8 @@ class Synthesizer:
             results.append(item)
         return results
 
-    def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool):
+    def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool,
+                     early_exit: bool = True):
         taco = self.models.tacotron
         hp = self.hp
         cfg = self.dsp_cfg
@@ -224,6 +243,7 @@ class Synthesizer:
                 spk,
                 max_steps,
                 hp.Decoder.Stop_Threshold,
+                early_exit,
                 method=taco.infer,
                 rngs={"prenet": rng},
             )

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multi_speaker_tts_tpu.ops import gru as gru_ops
 from multi_speaker_tts_tpu.ops import lstm as lstm_ops
 
 
@@ -59,6 +60,65 @@ class BiLSTM(nn.Module):
         y_f = LSTM(half, compute_dtype=self.compute_dtype, name="forward")(x)
         y_b = LSTM(half, reverse=True, compute_dtype=self.compute_dtype, name="backward")(x)
         return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+class GRU(nn.Module):
+    """Single-layer GRU over (B, T, D) -> (B, T, H); torch gate order."""
+
+    hidden_size: int
+    reverse: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D, H = x.shape[-1], self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+        params = gru_ops.GRUParams(
+            w_ih=self.param("w_ih", _uniform_init(bound), (D, 3 * H)),
+            w_hh=self.param("w_hh", _uniform_init(bound), (H, 3 * H)),
+            b_ih=self.param("b_ih", _uniform_init(bound), (3 * H,)),
+            b_hh=self.param("b_hh", _uniform_init(bound), (3 * H,)),
+        )
+        ys, _ = gru_ops.gru(
+            params, x, reverse=self.reverse, compute_dtype=self.compute_dtype
+        )
+        return ys
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU: (B, T, D) -> (B, T, 2 * (hidden_size // 2))."""
+
+    hidden_size: int  # total output size; each direction gets half
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.hidden_size // 2
+        y_f = GRU(half, compute_dtype=self.compute_dtype, name="forward")(x)
+        y_b = GRU(half, reverse=True, compute_dtype=self.compute_dtype, name="backward")(x)
+        return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+class Highway(nn.Module):
+    """Highway layer (Srivastava et al.; Taco1 section 3.1): out =
+    relu(H(x)) * sigmoid(T(x)) + x * (1 - sigmoid(T(x))). The transform
+    gate bias starts at -1 so early training passes inputs through."""
+
+    size: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(self.size, name="H")(x))
+        t = jax.nn.sigmoid(
+            nn.Dense(
+                self.size,
+                name="T",
+                bias_init=lambda key, shape, dtype=jnp.float32: jnp.full(
+                    shape, -1.0, dtype
+                ),
+            )(x)
+        )
+        return h * t + x * (1.0 - t)
 
 
 class ConvBNBlock(nn.Module):

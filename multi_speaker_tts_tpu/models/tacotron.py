@@ -34,6 +34,7 @@ from multi_speaker_tts_tpu.models.attention import (
 from multi_speaker_tts_tpu.models.layers import BiLSTM, ConvBNBlock, Prenet
 from multi_speaker_tts_tpu.ops import lstm as lstm_ops
 from multi_speaker_tts_tpu.text import symbols
+from multi_speaker_tts_tpu.text import vocab_size as text_vocab_size
 
 
 class LSTMCell(nn.Module):
@@ -67,7 +68,9 @@ class LSTMCell(nn.Module):
 
 
 class TextEncoder(nn.Module):
-    """Char embedding -> conv stack -> BiLSTM (SURVEY.md "Synthesizer encoder")."""
+    """Token embedding -> conv stack -> BiLSTM (SURVEY.md "Synthesizer
+    encoder"). ``vocab_size`` follows the configured text front-end
+    (characters or ARPAbet phonemes, Tokens.Use_Phoneme)."""
 
     embedding_size: int = 512
     conv_stacks: int = 3
@@ -75,11 +78,12 @@ class TextEncoder(nn.Module):
     conv_kernel_size: int = 5
     conv_dropout: float = 0.5
     lstm_size: int = 512
+    vocab_size: int = len(symbols)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Embed(len(symbols), self.embedding_size, name="embedding")(tokens)
+        x = nn.Embed(self.vocab_size, self.embedding_size, name="embedding")(tokens)
         for i in range(self.conv_stacks):
             x = ConvBNBlock(
                 self.conv_channels,
@@ -187,14 +191,8 @@ class Decoder(nn.Module):
             prev_frame=jnp.zeros((batch, self.mel_dim), jnp.float32),
         )
 
-    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory, memory_mask):
-        cell = nn.scan(
-            DecoderCell,
-            variable_broadcast="params",
-            split_rngs={"params": False, "prenet": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
-            out_axes=0,
-        )(
+    def _cell_kwargs(self, teacher_forcing: bool) -> dict:
+        return dict(
             mel_dim=self.mel_dim,
             prenet_sizes=self.prenet_sizes,
             prenet_dropout=self.prenet_dropout,
@@ -208,7 +206,71 @@ class Decoder(nn.Module):
             compute_dtype=self.compute_dtype,
             name="cell",
         )
+
+    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory, memory_mask):
+        cell = nn.scan(
+            DecoderCell,
+            variable_broadcast="params",
+            split_rngs={"params": False, "prenet": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )(**self._cell_kwargs(teacher_forcing))
         return cell(carry, inputs, keys, memory, memory_mask)
+
+    def _ar_early_exit(
+        self, carry, keys, memory, memory_mask, n_steps: int,
+        stop_threshold: float,
+    ):
+        """AR decode as a ``while_loop`` that exits once EVERY utterance in
+        the batch has crossed the stop threshold. Shapes stay static (the
+        output buffers are allocated at n_steps); only the trip count is
+        dynamic, so serving latency tracks actual speech length instead of
+        Max_Step (the scan path always pays the full frame budget)."""
+        B, S = memory_mask.shape
+        cell = DecoderCell(**self._cell_kwargs(False))
+        bufs = (
+            jnp.zeros((n_steps, B, self.mel_dim * self.n_frames_per_step), jnp.float32),
+            # Filler stop logits at -1e4: sigmoid ~ 0 so steps the loop never
+            # ran can't read as "stopped" downstream.
+            jnp.full((n_steps, B), -1e4, jnp.float32),
+            jnp.zeros((n_steps, B, S), jnp.float32),
+        )
+        init = (
+            carry,
+            jnp.zeros((), jnp.int32),  # t
+            jnp.zeros((B,), bool),  # stopped flags
+            jnp.zeros((B,), jnp.int32),  # decoded steps per utterance
+            bufs,
+        )
+
+        def cond_fn(mdl, c):
+            _, t, stopped, _, _ = c
+            return (t < n_steps) & ~jnp.all(stopped)
+
+        def body_fn(mdl, c):
+            carry, t, stopped, lengths, (mel_b, stop_b, align_b) = c
+            new_carry, (frames, stop_logit, weights) = mdl(
+                carry, carry.prev_frame, keys, memory, memory_mask
+            )
+            mel_b = mel_b.at[t].set(frames)
+            stop_b = stop_b.at[t].set(stop_logit)
+            align_b = align_b.at[t].set(weights)
+            lengths = lengths + (~stopped).astype(jnp.int32)
+            stopped = stopped | (
+                jax.nn.sigmoid(stop_logit.astype(jnp.float32)) > stop_threshold
+            )
+            return (new_carry, t + 1, stopped, lengths, (mel_b, stop_b, align_b))
+
+        if self.is_mutable_collection("params"):
+            # Variables cannot be initialized inside a while_loop body; one
+            # manual body step creates them (init-time only).
+            final = body_fn(cell, init)
+        else:
+            final = nn.while_loop(
+                cond_fn, body_fn, cell, init, split_rngs={"prenet": True}
+            )
+        _, _, _, lengths_steps, (frames, stops, aligns) = final
+        return frames, stops, aligns, lengths_steps
 
     @nn.compact
     def __call__(  # noqa: D401
@@ -217,14 +279,21 @@ class Decoder(nn.Module):
         memory_mask: jax.Array,  # (B, S)
         teacher_mels: jax.Array | None = None,  # (B, T, mel) when teacher forcing
         max_steps: int | None = None,  # decode steps when AR
+        stop_threshold: float | None = None,  # AR early exit when given
     ):
-        """Returns (mel_pre (B, T, mel), stop_logits (B, T_dec), align (B, T_dec, S))."""
+        """Returns (mel_pre (B, T, mel), stop_logits (B, T_dec),
+        align (B, T_dec, S), lengths_steps (B,) or None).
+
+        ``lengths_steps`` is produced by the early-exit AR path (the loop
+        knows when each utterance stopped); the scan paths return None and
+        callers derive lengths from the stop logits."""
         B = memory.shape[0]
         r = self.n_frames_per_step
         keys = nn.Dense(self.attention_size, use_bias=False, name="memory_layer")(
             memory.astype(jnp.float32)
         )
         carry = self._initial_carry(B, memory)
+        lengths_steps = None
 
         if teacher_mels is not None:
             T = teacher_mels.shape[1]
@@ -243,16 +312,21 @@ class Decoder(nn.Module):
         else:
             assert max_steps is not None
             n_steps = max_steps // r
-            dummy = jnp.zeros((n_steps, B, self.mel_dim), jnp.float32)
-            _, (frames, stops, aligns) = self._scan(
-                False, carry, dummy, keys, memory, memory_mask
-            )
+            if stop_threshold is not None:
+                frames, stops, aligns, lengths_steps = self._ar_early_exit(
+                    carry, keys, memory, memory_mask, n_steps, stop_threshold
+                )
+            else:
+                dummy = jnp.zeros((n_steps, B, self.mel_dim), jnp.float32)
+                _, (frames, stops, aligns) = self._scan(
+                    False, carry, dummy, keys, memory, memory_mask
+                )
 
         # (n_steps, B, mel*r) -> (B, n_steps*r, mel)
         mel = jnp.swapaxes(frames, 0, 1).reshape(B, n_steps * r, self.mel_dim)
         stops = jnp.swapaxes(stops, 0, 1)  # (B, n_steps)
         aligns = jnp.swapaxes(aligns, 0, 1)  # (B, n_steps, S)
-        return mel, stops, aligns
+        return mel, stops, aligns, lengths_steps
 
 
 class Postnet(nn.Module):
@@ -334,12 +408,25 @@ class Tacotron(nn.Module):
         lh = hp.get("Linear_Head")
         linear_head = None
         if lh is not None and lh.Use:
-            linear_head = dict(
-                conv_stacks=lh.Conv.Stacks,
-                conv_channels=lh.Conv.Channels,
-                conv_kernel_size=lh.Conv.Kernel_Size,
-                dropout_rate=lh.Conv.Dropout_Rate,
-            )
+            if lh.get("Type", "Conv") == "CBHG":
+                cb = lh.CBHG
+                linear_head = dict(
+                    type="CBHG",
+                    bank_k=cb.Bank_K,
+                    bank_channels=cb.Bank_Channels,
+                    projection_channels=cb.Projection_Channels,
+                    highway_layers=cb.Highway.Layers,
+                    highway_size=cb.Highway.Size,
+                    gru_size=cb.GRU_Size,
+                )
+            else:
+                linear_head = dict(
+                    type="Conv",
+                    conv_stacks=lh.Conv.Stacks,
+                    conv_channels=lh.Conv.Channels,
+                    conv_kernel_size=lh.Conv.Kernel_Size,
+                    dropout_rate=lh.Conv.Dropout_Rate,
+                )
         kwargs = dict(
             mel_dim=hp.Sound.Mel_Dim,
             spect_dim=hp.Sound.Spectrogram_Dim,
@@ -351,6 +438,7 @@ class Tacotron(nn.Module):
                 conv_kernel_size=hp.Encoder.Conv.Kernel_Size,
                 conv_dropout=hp.Encoder.Conv.Dropout_Rate,
                 lstm_size=hp.Encoder.LSTM_Size,
+                vocab_size=text_vocab_size(hp),
             ),
             decoder=dict(
                 prenet_sizes=tuple(hp.Decoder.Prenet.Sizes),
@@ -390,8 +478,15 @@ class Tacotron(nn.Module):
             mel_dim=self.mel_dim, **self.postnet, name="postnet"
         )
         if self.linear_head is not None:
-            self.spect_head = LinearHead(
-                spect_dim=self.spect_dim, **self.linear_head, name="linear_head"
+            cfg = dict(self.linear_head)
+            head_cls = LinearHead
+            if cfg.pop("type", "Conv") == "CBHG":
+                from multi_speaker_tts_tpu.models.cbhg import CBHGHead
+
+                head_cls = CBHGHead
+                cfg["compute_dtype"] = self.compute_dtype
+            self.spect_head = head_cls(
+                spect_dim=self.spect_dim, **cfg, name="linear_head"
             )
 
     def _build_memory(self, tokens, token_lengths, speaker_embedding, train):
@@ -419,7 +514,7 @@ class Tacotron(nn.Module):
         """Teacher-forced forward (training/eval). Returns mel_pre/mel_post/
         stop_logits/alignments."""
         memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, train)
-        mel_pre, stops, aligns = self.frame_decoder(memory, mask, teacher_mels=mels)
+        mel_pre, stops, aligns, _ = self.frame_decoder(memory, mask, teacher_mels=mels)
         residual = self.mel_postnet(mel_pre, train=train)
         mel_post = mel_pre + residual
         out = {
@@ -439,21 +534,30 @@ class Tacotron(nn.Module):
         speaker_embedding: jax.Array | None = None,
         max_steps: int = 1000,
         stop_threshold: float = 0.5,
+        early_exit: bool = True,
     ) -> dict[str, Any]:
-        """AR decode to a static max length with stop-token masking outside
-        the scan (BASELINE.json:5). Returns mels plus per-utterance lengths."""
+        """AR decode to a static max length. ``early_exit=True`` (default)
+        runs the stop-aware while_loop (BASELINE.json:5's static-shape
+        contract holds - only the trip count is dynamic); ``False`` keeps
+        the fixed-length scan with stop masking outside (the constant-
+        workload path benchmarks use)."""
         memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, False)
-        mel_pre, stops, aligns = self.frame_decoder(memory, mask, max_steps=max_steps)
+        mel_pre, stops, aligns, lengths_steps = self.frame_decoder(
+            memory, mask, max_steps=max_steps,
+            stop_threshold=stop_threshold if early_exit else None,
+        )
         residual = self.mel_postnet(mel_pre)
         mel_post = mel_pre + residual
 
         r = self.decoder["n_frames_per_step"] if self.decoder else 1
-        stop_prob = jax.nn.sigmoid(stops.astype(jnp.float32))  # (B, n_steps)
-        stopped = stop_prob > stop_threshold
-        any_stop = jnp.any(stopped, axis=1)
-        first_stop = jnp.argmax(stopped, axis=1)  # first True (0 if none)
+        if lengths_steps is None:
+            stop_prob = jax.nn.sigmoid(stops.astype(jnp.float32))  # (B, n_steps)
+            stopped = stop_prob > stop_threshold
+            any_stop = jnp.any(stopped, axis=1)
+            first_stop = jnp.argmax(stopped, axis=1)  # first True (0 if none)
+            n_steps = stops.shape[1]
+            lengths_steps = jnp.where(any_stop, first_stop + 1, n_steps)
         n_steps = stops.shape[1]
-        lengths_steps = jnp.where(any_stop, first_stop + 1, n_steps)
         mel_lengths = lengths_steps * r  # (B,) frames
 
         frame_idx = jnp.arange(n_steps * r)[None, :]

@@ -144,3 +144,27 @@ def text_to_sequence(
 
 def sequence_to_text(ids) -> str:
     return "".join(_id_to_symbol[int(i)] for i in ids if int(i) in _id_to_symbol)
+
+
+# --- hp-driven dispatch: characters vs phonemes (Tokens.Use_Phoneme) -------
+
+def vocab_size(hp) -> int:
+    """Token-embedding vocabulary for the configured front-end."""
+    if hp.Tokens.get("Use_Phoneme", False):
+        from multi_speaker_tts_tpu.text.phonemes import phoneme_symbols
+
+        return len(phoneme_symbols)
+    return len(symbols)
+
+
+def encode_text(text: str, hp) -> np.ndarray:
+    """Raw text -> token ids under hp's front-end config (the single entry
+    point used by the pattern generator and the inference API)."""
+    cleaners = hp.Tokens.get("Cleaners", ("english_cleaners",))
+    if hp.Tokens.get("Use_Phoneme", False):
+        from multi_speaker_tts_tpu.text.phonemes import phoneme_text_to_sequence
+
+        return phoneme_text_to_sequence(
+            text, cleaners, hp.Tokens.get("Phoneme_Lexicon")
+        )
+    return text_to_sequence(text, cleaners)

@@ -28,11 +28,16 @@ from multi_speaker_tts_tpu.convert.reference_torch import (  # noqa: E402
 from multi_speaker_tts_tpu.models import GE2E, Tacotron  # noqa: E402
 
 
-@pytest.fixture(scope="module")
-def parity_hp(tiny_hp):
+@pytest.fixture(scope="module", params=["Conv", "CBHG"])
+def parity_hp(tiny_hp, request):
     # Prenet dropout must be 0 for determinism (the reference keeps prenet
-    # dropout always on; with rate 0 both sides reduce to identity).
-    return tiny_hp.replace(Decoder={"Prenet": {"Dropout_Rate": 0.0}})
+    # dropout always on; with rate 0 both sides reduce to identity). Both
+    # linear-branch designs are parity-tested: the reference-faithful CBHG
+    # and the conv stand-in.
+    return tiny_hp.replace(
+        Decoder={"Prenet": {"Dropout_Rate": 0.0}},
+        Linear_Head={"Type": request.param},
+    )
 
 
 @pytest.fixture(scope="module")

@@ -73,6 +73,48 @@ def test_ar_inference_shapes_and_masking(tiny_taco):
         assert np.all(mel[b, lengths[b]:] == 0.0), "frames past stop not masked"
 
 
+def test_early_exit_matches_fixed_length_decode(tiny_hp):
+    """The stop-aware while_loop decode produces the same lengths and the
+    same frames (up to each utterance's stop) as the fixed-length scan with
+    post-hoc masking. Prenet dropout is zeroed so both paths are
+    deterministic regardless of rng folding differences."""
+    hp = tiny_hp.replace(Decoder={"Prenet": {"Dropout_Rate": 0.0}})
+    model = Tacotron.from_hp(hp)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(2, 30, size=(B, S)), jnp.int32)
+    token_lengths = jnp.asarray([S, S - 4], jnp.int32)
+    spk = rng.standard_normal((B, 16))
+    spk = jnp.asarray(spk / np.linalg.norm(spk, axis=-1, keepdims=True), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)},
+        tokens, token_lengths,
+        jnp.zeros((B, 8, MEL), jnp.float32), spk,
+    )
+    outs = {}
+    for early_exit in (False, True):
+        outs[early_exit] = model.apply(
+            variables, tokens, token_lengths, spk, 32, 0.5, early_exit,
+            method=model.infer, rngs={"prenet": jax.random.PRNGKey(2)},
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["mel_lengths"]), np.asarray(outs[False]["mel_lengths"])
+    )
+    lengths = np.asarray(outs[True]["mel_lengths"])
+    for b in range(B):
+        L = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(outs[True]["mel_post"])[b, :L],
+            np.asarray(outs[False]["mel_post"])[b, :L],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[True]["alignments"])[b, :L],
+            np.asarray(outs[False]["alignments"])[b, :L],
+            atol=1e-5,
+        )
+        assert np.all(np.asarray(outs[True]["mel_post"])[b, L:] == 0.0)
+
+
 def test_tf_and_ar_share_params(tiny_taco):
     """The same variables dict drives both call paths - one cell, two modes
     (SURVEY.md section 7 hard part #1)."""

@@ -1,16 +1,26 @@
-"""Benchmark: batched zero-shot synthesis speed on the real TPU chip.
+"""Benchmark: batched zero-shot synthesis + training throughput on the real
+TPU chip. Prints ONE JSON line:
+
+    {"metric", "value", "unit", "vs_baseline", "extra": {...}}
 
 Headline metric (BASELINE.json:5 target): batched synthesis x-realtime per
-TPU core, full pipeline on-chip - GE2E enrollment embedding, Tacotron AR
-decode to a fixed frame budget (stop disabled so the workload is constant),
-linear head, and 60-iteration Griffin-Lim vocoding. Audio-seconds generated
-per wall-second. Target >= 20x; vs_baseline is value / 20.
+TPU core with a CONSTANT workload - GE2E enrollment embedding, Tacotron AR
+decode to a fixed frame budget (fixed-length scan, stop masking outside),
+linear branch, 60-iteration Griffin-Lim - audio-seconds per wall-second.
+Target >= 20x; vs_baseline is value / 20.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``extra`` carries the other contract numbers (VERDICT round-1 items 5/6):
 
-Secondary mode (``BENCH_MODE=train``): teacher-forced training throughput in
-mel frames/sec/chip (BASELINE.json:2's other metric; no reference number
-exists - measured 116k frames/s/chip at B=32, T=400, 44.3M params).
+- synthesis_x_realtime_stop_enabled: the REALISTIC serving path - pow2
+  decode-length bucket picked from the text length plus the stop-aware
+  early-exit while_loop; audio seconds counted from actual stop lengths.
+- train_frames_per_sec: teacher-forced training throughput per chip
+  (BASELINE.json:2's second metric).
+- train_mfu / train_step_tflops: model flops utilization from XLA's own
+  cost analysis of the compiled train step against the chip's bf16 peak.
+
+Env knobs: BENCH_BATCH, BENCH_FRAMES, BENCH_MODE=train (train-only legacy
+mode), BENCH_SKIP_TRAIN=1 (synthesis-only).
 """
 
 from __future__ import annotations
@@ -22,6 +32,43 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+# bf16 peak matmul throughput per chip; the decode/DSP path also runs f32
+# passes, so MFU is a lower bound w.r.t. the bf16 ceiling.
+PEAK_FLOPS_BY_KIND = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e
+}
+
+
+def _peak_flops(jax) -> float:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in PEAK_FLOPS_BY_KIND.items():
+        if kind.startswith(prefix):
+            return peak
+    return 197e12
+
+
+def _two_point(run, n_hi: int = 3) -> float:
+    """Per-iteration seconds via a two-point slope: cancels the fixed
+    host<->device round trip (~30 ms on the axon tunnel, where
+    block_until_ready does NOT synchronize - a scalar fetch is the only
+    honest sync)."""
+    t_lo = min(run(1) for _ in range(2))
+    t_hi = min(run(n_hi) for _ in range(2))
+    return max((t_hi - t_lo) / (n_hi - 1), 1e-9)
+
+
+_T0 = time.perf_counter()
+
+
+def _stage(msg: str) -> None:
+    import sys
+
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main() -> None:
@@ -38,13 +85,20 @@ def main() -> None:
     from multi_speaker_tts_tpu.ops import stft_matmul
     from multi_speaker_tts_tpu.train import trainer as trainer_lib
 
+    extra: dict = {}
+
     if os.environ.get("BENCH_MODE") == "train":
-        _bench_train(jax, jnp, np, default_hparams, trainer_lib)
+        value = _bench_train(jax, jnp, default_hparams, trainer_lib, extra)
+        print(json.dumps({
+            "metric": "teacher_forced_train_mel_frames_per_sec_per_chip",
+            "value": round(value, 1),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "extra": extra,
+        }))
         return
 
-    # Constant-workload decode: threshold > 1 means sigmoid never crosses it,
-    # so every utterance runs the full MAX_STEPS frames.
-    hp = default_hparams(Decoder={"Stop_Threshold": 1.5})
+    hp = default_hparams()
     cfg = dsp.DSPConfig.from_hp(hp)
     models = trainer_lib.build_models(hp)
 
@@ -64,33 +118,34 @@ def main() -> None:
     }
     state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), init_batch)
 
-    def synthesize(params, batch_stats, tokens, token_lengths, ref_mels, rngkey):
-        spk = models.ge2e.apply({"params": params["ge2e"]}, ref_mels)
-        out = models.tacotron.apply(
-            {"params": params["tacotron"], "batch_stats": batch_stats["tacotron"]},
-            tokens,
-            token_lengths,
-            spk,
-            MAX_STEPS,
-            hp.Decoder.Stop_Threshold,
-            method=models.tacotron.infer,
-            rngs={"prenet": rngkey},
-        )
-        S_db = dsp.denormalize(out["linear"], cfg.min_level_db)
-        mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
-        length = cfg.hop * (mag.shape[-2] - 1)
-        wav = stft_matmul.griffin_lim_auto(
-            mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length,
-            precision=os.environ.get("BENCH_GL_PRECISION", "highest"),
-        )
-        wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
-        # Scalar probe: fetching this float forces full execution. On the
-        # axon-tunneled TPU, jax.block_until_ready does NOT synchronize and a
-        # full wav transfer costs seconds of tunnel overhead; a scalar fetch
-        # is the only honest sync.
-        return jnp.abs(wav).mean()
+    def make_synth(max_steps: int, stop_threshold: float, early_exit: bool):
+        def synthesize(params, batch_stats, tokens, token_lengths, ref_mels, rngkey):
+            spk = models.ge2e.apply({"params": params["ge2e"]}, ref_mels)
+            out = models.tacotron.apply(
+                {"params": params["tacotron"], "batch_stats": batch_stats["tacotron"]},
+                tokens,
+                token_lengths,
+                spk,
+                max_steps,
+                stop_threshold,
+                early_exit,
+                method=models.tacotron.infer,
+                rngs={"prenet": rngkey},
+            )
+            S_db = dsp.denormalize(out["linear"], cfg.min_level_db)
+            mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
+            length = cfg.hop * (mag.shape[-2] - 1)
+            wav = stft_matmul.griffin_lim_auto(
+                mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length,
+                precision=os.environ.get("BENCH_GL_PRECISION", "highest"),
+            )
+            wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
+            # Scalar probes force full execution; mel_lengths ride along for
+            # the stop-enabled audio accounting.
+            return jnp.abs(wav).mean(), out["mel_lengths"]
 
-    fn = jax.jit(synthesize)
+        return jax.jit(synthesize)
+
     args = (
         state.params,
         state.batch_stats,
@@ -100,41 +155,79 @@ def main() -> None:
         jax.random.PRNGKey(1),
     )
 
-    float(fn(*args))  # compile + warmup
+    budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "420"))
+
+    # --- headline: constant workload (stop disabled via threshold > 1) ----
+    _stage("compiling constant-workload synthesis")
+    fn = make_synth(MAX_STEPS, 1.5, early_exit=False)
+    float(fn(*args)[0])  # compile + warmup
+    _stage("timing constant-workload synthesis")
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
         probe = None
         for _ in range(n):
             probe = fn(*args)
-        float(probe)  # sync
+        float(probe[0])
         return time.perf_counter() - t0
 
-    # Two-point slope cancels the fixed host<->device round-trip (~30 ms).
-    n_hi = 3
-    t_lo = min(timed(1) for _ in range(2))
-    t_hi = min(timed(n_hi) for _ in range(2))
-    dt = max((t_hi - t_lo) / (n_hi - 1), 1e-9)
-
+    dt = _two_point(timed)
     audio_seconds = BATCH * MAX_STEPS * cfg.hop / cfg.sample_rate
     x_realtime = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "batched_synthesis_x_realtime_per_core",
-                "value": round(x_realtime, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(x_realtime / 20.0, 3),
-            }
+
+    # --- realistic serving: decode bucket + stop-aware early exit ---------
+    if time.perf_counter() - _T0 < budget:
+        _stage("compiling stop-enabled (early-exit) synthesis")
+        from multi_speaker_tts_tpu.inference import _decode_bucket
+
+        per_token = int(hp.Decoder.get("Max_Frames_Per_Token", 12))
+        bucket = _decode_bucket(S * per_token, hp.Decoder.Max_Step)
+        fn_stop = make_synth(bucket, hp.Decoder.Stop_Threshold, early_exit=True)
+        probe, lengths = fn_stop(*args)
+        float(probe)  # compile + warmup
+        lengths = np.asarray(jax.device_get(lengths))
+        _stage("timing stop-enabled synthesis")
+
+        def timed_stop(n: int) -> float:
+            t0 = time.perf_counter()
+            probe = None
+            for _ in range(n):
+                probe = fn_stop(*args)
+            float(probe[0])
+            return time.perf_counter() - t0
+
+        dt_stop = _two_point(timed_stop)
+        stop_audio_seconds = float(lengths.sum()) * cfg.hop / cfg.sample_rate
+        extra["synthesis_x_realtime_stop_enabled"] = round(
+            stop_audio_seconds / dt_stop, 2
         )
-    )
+        extra["stop_enabled_decode_bucket_frames"] = bucket
+        extra["stop_enabled_mean_length_frames"] = round(float(lengths.mean()), 1)
+    else:
+        extra["synthesis_x_realtime_stop_enabled"] = "skipped (budget)"
+
+    # --- training throughput + MFU -----------------------------------------
+    if os.environ.get("BENCH_SKIP_TRAIN"):
+        pass
+    elif time.perf_counter() - _T0 < budget:
+        _stage("train-step benchmark")
+        extra["train_frames_per_sec"] = round(
+            _bench_train(jax, jnp, default_hparams, trainer_lib, extra), 1
+        )
+    else:
+        extra["train_frames_per_sec"] = "skipped (budget)"
+
+    print(json.dumps({
+        "metric": "batched_synthesis_x_realtime_per_core",
+        "value": round(x_realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_realtime / 20.0, 3),
+        "extra": extra,
+    }))
 
 
-def _bench_train(jax, jnp, np, default_hparams, trainer_lib) -> None:
-    """BENCH_MODE=train: teacher-forced training throughput."""
-    import json as _json
-    import time as _time
-
+def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
+    """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""
     hp = default_hparams()
     models = trainer_lib.build_models(hp)
     B, S, T = 32, 100, 400
@@ -154,31 +247,38 @@ def _bench_train(jax, jnp, np, default_hparams, trainer_lib) -> None:
     step = jax.jit(trainer_lib.make_train_step(hp, models), donate_argnums=0)
     bd = jax.tree.map(jnp.asarray, batch)
     key = jax.random.PRNGKey(1)
+
+    # XLA's own flop count for the whole compiled step (fwd + bwd + update).
+    _stage("lowering + compiling train step (cost analysis)")
+    flops = None
+    try:
+        cost = step.lower(state, bd, key).compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    _stage("running train step")
     state, m = step(state, bd, key)
     float(m["total"])  # sync (block_until_ready is a no-op on the tunnel)
 
     def run(n, state):
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         m = None
         for _ in range(n):
             state, m = step(state, bd, key)
         float(m["total"])
-        return _time.perf_counter() - t0, state
+        return time.perf_counter() - t0, state
 
     a, state = run(1, state)
     b, state = run(4, state)
-    per = (b - a) / 3
+    per = max((b - a) / 3, 1e-9)
     frames_per_sec = B * T / per
-    print(
-        _json.dumps(
-            {
-                "metric": "teacher_forced_train_mel_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 1),
-                "unit": "frames/sec",
-                "vs_baseline": None,
-            }
-        )
-    )
+
+    if flops:
+        extra["train_step_tflops"] = round(flops / 1e12, 3)
+        extra["train_mfu"] = round(flops / per / _peak_flops(jax), 4)
+    return frames_per_sec
 
 
 if __name__ == "__main__":

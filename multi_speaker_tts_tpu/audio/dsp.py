@@ -87,22 +87,48 @@ def preemphasis(wav: jax.Array, coef: float) -> jax.Array:
     return wav - coef * shifted
 
 
-def inv_preemphasis(wav: jax.Array, coef: float) -> jax.Array:
-    """IIR y[n] = x[n] + coef*y[n-1] as a parallel associative scan.
+def inv_preemphasis(wav: jax.Array, coef: float, block: int = 1024) -> jax.Array:
+    """IIR y[n] = x[n] + coef*y[n-1] as a BLOCKED parallel associative scan.
 
     Each sample is an affine map y -> coef*y + x[n]; composition of affine
-    maps is associative, so the full prefix is computed in O(log N) depth on
-    the VPU instead of a length-N sequential loop.
+    maps is associative, so the prefix is computable in O(log N) depth on
+    the VPU. A single full-length associative_scan compiles pathologically
+    slowly on TPU at waveform lengths (minutes at ~256k samples - measured),
+    so the recurrence is split exactly into (1) independent in-block
+    prefixes, (2) a tiny block-level scan over the per-block carries
+    L[i] = coef^B * L[i-1] + last_i, and (3) y = p + coef^(n+1) * L[i-1]
+    within each block. Both scans are short; the result is bit-equivalent
+    math, not an approximation.
     """
-    a = jnp.full_like(wav, coef)
+    if coef == 0.0:
+        return wav
+    L = wav.shape[-1]
+    nb = -(-L // block)
+    pad = nb * block - L
+    x = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+    x = x.reshape(*wav.shape[:-1], nb, block)
 
     def combine(left, right):
         a1, b1 = left
         a2, b2 = right
         return a1 * a2, a2 * b1 + b2
 
-    _, y = jax.lax.associative_scan(combine, (a, wav), axis=-1)
-    return y
+    # (1) in-block prefixes (zero initial state per block).
+    a = jnp.full_like(x, coef)
+    _, p = jax.lax.associative_scan(combine, (a, x), axis=-1)
+
+    # (2) carry recurrence over blocks: L[i] = coef^block * L[i-1] + last_i.
+    lasts = p[..., -1]
+    a_blk = jnp.full_like(lasts, coef**block)
+    _, carries = jax.lax.associative_scan(combine, (a_blk, lasts), axis=-1)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(carries[..., :1]), carries[..., :-1]], axis=-1
+    )
+
+    # (3) inject the incoming carry: y[n] = p[n] + coef^(n+1) * L[i-1].
+    decay = coef ** (jnp.arange(block, dtype=wav.dtype) + 1.0)
+    y = p + prev[..., None] * decay
+    return y.reshape(*wav.shape[:-1], nb * block)[..., :L]
 
 
 def frame_signal(wav: jax.Array, n_fft: int, hop: int) -> jax.Array:

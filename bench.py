@@ -230,7 +230,8 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""
     hp = default_hparams()
     models = trainer_lib.build_models(hp)
-    B, S, T = 32, 100, 400
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    S, T = 100, 400
     rng = np.random.default_rng(0)
     batch = {
         "tokens": rng.integers(2, 30, size=(B, S)).astype(np.int32),

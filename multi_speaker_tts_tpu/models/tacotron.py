@@ -178,6 +178,7 @@ class Decoder(nn.Module):
     lstm_size: int
     lstm_stacks: int
     n_frames_per_step: int
+    scan_unroll: int = 1  # unroll factor for the teacher-forced frame scan
     compute_dtype: jnp.dtype = jnp.float32
 
     def _initial_carry(self, batch: int, memory: jax.Array) -> DecoderCarry:
@@ -214,6 +215,11 @@ class Decoder(nn.Module):
             split_rngs={"params": False, "prenet": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
+            # Unrolling amortizes per-step loop overhead and lets XLA
+            # software-pipeline the small recurrent matmuls (applies to the
+            # teacher-forced and fixed-length AR scans; the early-exit
+            # while_loop has a dynamic trip count and cannot unroll).
+            unroll=self.scan_unroll,
         )(**self._cell_kwargs(teacher_forcing))
         return cell(carry, inputs, keys, memory, memory_mask)
 
@@ -449,6 +455,7 @@ class Tacotron(nn.Module):
                 lstm_size=hp.Decoder.LSTM.Sizes,
                 lstm_stacks=hp.Decoder.LSTM.Stacks,
                 n_frames_per_step=hp.Decoder.get("N_Frames_Per_Step", 1),
+                scan_unroll=hp.Decoder.get("Scan_Unroll", 1),
             ),
             postnet=dict(
                 conv_stacks=hp.Postnet.Conv.Stacks,

@@ -47,16 +47,23 @@ def make_ge2e_optimizer(hp) -> optax.GradientTransformation:
 
 
 def init_ge2e_state(hp, model: GE2E, rng: jax.Array, sample_mels) -> GE2ETrainState:
-    enc_params = model.init(rng, jnp.asarray(sample_mels))["params"]
-    params = {
-        "encoder": enc_params,
-        "w": jnp.asarray(float(hp.Speaker_Embedding.GE2E.Loss.Initial_Weight)),
-        "b": jnp.asarray(float(hp.Speaker_Embedding.GE2E.Loss.Initial_Bias)),
-    }
+    """One jitted init program (eager per-op flax init costs minutes over a
+    tunneled remote TPU; cf. trainer.init_state)."""
     optimizer = make_ge2e_optimizer(hp)
-    return GE2ETrainState(
-        step=jnp.zeros([], jnp.int32), params=params, opt_state=optimizer.init(params)
-    )
+
+    def build(rng, mels):
+        params = {
+            "encoder": model.init(rng, mels)["params"],
+            "w": jnp.asarray(float(hp.Speaker_Embedding.GE2E.Loss.Initial_Weight)),
+            "b": jnp.asarray(float(hp.Speaker_Embedding.GE2E.Loss.Initial_Bias)),
+        }
+        return GE2ETrainState(
+            step=jnp.zeros([], jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+        )
+
+    return jax.jit(build)(rng, jnp.asarray(sample_mels))
 
 
 def make_ge2e_train_step(hp, model: GE2E):

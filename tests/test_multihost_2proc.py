@@ -119,18 +119,28 @@ def test_two_process_training_matches_single_process(tmp_path, tiny_hp):
 
     # Single-process reference: one process, 4 local devices.
     p, log = _launch(script, "", 1, 0, pattern_dir, str(tmp_path / "ckpt1"), 4)
-    assert p.wait(timeout=240) == 0, log.read_text()[-3000:]
+    try:
+        assert p.wait(timeout=420) == 0, log.read_text()[-3000:]
+    finally:
+        p.kill()
     loss_single = _final_loss(log.read_text())
 
-    # Two processes x 2 local devices, same 4-device global mesh.
+    # Two processes x 2 local devices, same 4-device global mesh. Gloo's
+    # context-init key exchange has a hard 30 s deadline, so a worker stalled
+    # behind a loaded machine can wedge BOTH processes; always reap the
+    # children (a leaked deadlocked pair starves every later run).
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         _launch(script, coordinator, 2, pid, pattern_dir,
                 str(tmp_path / "ckpt2"), 2)
         for pid in range(2)
     ]
-    for p, log in procs:
-        assert p.wait(timeout=240) == 0, log.read_text()[-3000:]
+    try:
+        for p, log in procs:
+            assert p.wait(timeout=420) == 0, log.read_text()[-3000:]
+    finally:
+        for p, _ in procs:
+            p.kill()
     losses = [_final_loss(log.read_text()) for _, log in procs]
 
     # Every process reports the same (replicated) loss, and it matches the

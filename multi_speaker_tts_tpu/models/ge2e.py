@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multi_speaker_tts_tpu.models.layers import LSTM
+from multi_speaker_tts_tpu.models.layers import _LSTMParamBank
+from multi_speaker_tts_tpu.ops import lstm as lstm_ops
 
 
 def num_windows(length: int, window_length: int, window_shift: int) -> int:
@@ -70,10 +71,17 @@ class GE2E(nn.Module):
     @nn.compact
     def __call__(self, mels: jax.Array) -> jax.Array:
         """Fixed-length mel windows (B, L, M) -> unit-norm embeddings (B, E)."""
-        x = mels
+        # One wavefront scan advances all stacked layers concurrently
+        # (param scopes lstm_{i} unchanged - checkpoint-converter contract).
+        layers = []
+        d = mels.shape[-1]
         for i in range(self.lstm_stacks):
-            x = LSTM(self.lstm_size, compute_dtype=self.compute_dtype, name=f"lstm_{i}")(x)
-        last = x[:, -1]  # (B, H): final frame output (GE2E paper eq. 4)
+            layers.append(_LSTMParamBank(d, self.lstm_size, name=f"lstm_{i}")())
+            d = self.lstm_size
+        x, last = lstm_ops.lstm_stack_wavefront(
+            layers, mels, compute_dtype=self.compute_dtype, unroll=4
+        )
+        del x  # (B, H): final frame output (GE2E paper eq. 4) is `last`
         emb = nn.Dense(self.embedding_size, name="projection")(last)
         return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
 

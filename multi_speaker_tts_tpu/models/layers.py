@@ -48,18 +48,45 @@ class LSTM(nn.Module):
         return (ys, state) if return_state else ys
 
 
+class _LSTMParamBank(nn.Module):
+    """Declares one LSTM layer's params (same tree as ``LSTM``) without
+    running it - lets ``BiLSTM`` keep the ``forward``/``backward`` scopes
+    (checkpoint-converter contract, convert/mapping.py) while executing both
+    directions in one fused scan."""
+
+    input_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self) -> lstm_ops.LSTMParams:
+        D, H = self.input_size, self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+        return lstm_ops.LSTMParams(
+            w_ih=self.param("w_ih", _uniform_init(bound), (D, 4 * H)),
+            w_hh=self.param("w_hh", _uniform_init(bound), (H, 4 * H)),
+            b=self.param("b", _uniform_init(bound), (4 * H,)),
+        )
+
+
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM: (B, T, D) -> (B, T, 2 * (hidden_size // 2))."""
+    """Bidirectional LSTM: (B, T, D) -> (B, T, 2 * (hidden_size // 2)).
+
+    Both directions run in ONE direction-batched scan (``ops.lstm.
+    bilstm_fused``): XLA executes while-loops serially, so separate
+    direction scans would double the sequential depth."""
 
     hidden_size: int  # total output size; each direction gets half
     compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x):
         half = self.hidden_size // 2
-        y_f = LSTM(half, compute_dtype=self.compute_dtype, name="forward")(x)
-        y_b = LSTM(half, reverse=True, compute_dtype=self.compute_dtype, name="backward")(x)
-        return jnp.concatenate([y_f, y_b], axis=-1)
+        fwd = _LSTMParamBank(x.shape[-1], half, name="forward")()
+        bwd = _LSTMParamBank(x.shape[-1], half, name="backward")()
+        return lstm_ops.bilstm_fused(
+            fwd, bwd, x, compute_dtype=self.compute_dtype, unroll=self.unroll
+        )
 
 
 class GRU(nn.Module):
@@ -85,18 +112,40 @@ class GRU(nn.Module):
         return ys
 
 
+class _GRUParamBank(nn.Module):
+    """GRU analogue of ``_LSTMParamBank`` (same tree as ``GRU``)."""
+
+    input_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self) -> gru_ops.GRUParams:
+        D, H = self.input_size, self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+        return gru_ops.GRUParams(
+            w_ih=self.param("w_ih", _uniform_init(bound), (D, 3 * H)),
+            w_hh=self.param("w_hh", _uniform_init(bound), (H, 3 * H)),
+            b_ih=self.param("b_ih", _uniform_init(bound), (3 * H,)),
+            b_hh=self.param("b_hh", _uniform_init(bound), (3 * H,)),
+        )
+
+
 class BiGRU(nn.Module):
-    """Bidirectional GRU: (B, T, D) -> (B, T, 2 * (hidden_size // 2))."""
+    """Bidirectional GRU: (B, T, D) -> (B, T, 2 * (hidden_size // 2)).
+    One direction-batched scan (see ``BiLSTM``)."""
 
     hidden_size: int  # total output size; each direction gets half
     compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x):
         half = self.hidden_size // 2
-        y_f = GRU(half, compute_dtype=self.compute_dtype, name="forward")(x)
-        y_b = GRU(half, reverse=True, compute_dtype=self.compute_dtype, name="backward")(x)
-        return jnp.concatenate([y_f, y_b], axis=-1)
+        fwd = _GRUParamBank(x.shape[-1], half, name="forward")()
+        bwd = _GRUParamBank(x.shape[-1], half, name="backward")()
+        return gru_ops.bigru_fused(
+            fwd, bwd, x, compute_dtype=self.compute_dtype, unroll=self.unroll
+        )
 
 
 class Highway(nn.Module):

@@ -80,3 +80,51 @@ def gru(
 
     h_T, ys = jax.lax.scan(step, h0, gx_t, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1), h_T
+
+
+def bigru_fused(
+    fwd: GRUParams,
+    bwd: GRUParams,
+    x: jax.Array,  # (B, T, D)
+    compute_dtype=jnp.float32,
+    unroll: int = 1,
+) -> jax.Array:
+    """Bidirectional GRU as ONE scan of T steps (see ``lstm.bilstm_fused``:
+    XLA serializes while-loops, so direction-batching the recurrent matmul
+    halves the sequential depth at identical FLOPs and numerics)."""
+    B, T, _ = x.shape
+    H = fwd.hidden_size
+
+    def in_proj(p: GRUParams) -> jax.Array:
+        return jnp.dot(
+            x.astype(compute_dtype),
+            p.w_ih.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) + p.b_ih.astype(jnp.float32)
+
+    g2 = jnp.stack(
+        [jnp.swapaxes(in_proj(fwd), 0, 1),
+         jnp.swapaxes(in_proj(bwd), 0, 1)[::-1]],
+        axis=1,
+    )  # (T, 2, B, 3H)
+    w_hh = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(compute_dtype)  # (2, H, 3H)
+    b_hh = jnp.stack([fwd.b_hh, bwd.b_hh]).astype(jnp.float32)[:, None, :]  # (2, 1, 3H)
+
+    def step(h, g):  # h (2, B, H), g (2, B, 3H)
+        gates_h = jax.lax.dot_general(
+            h.astype(compute_dtype),
+            w_hh,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + b_hh
+        r = jax.nn.sigmoid(g[..., :H] + gates_h[..., :H])
+        z = jax.nn.sigmoid(g[..., H : 2 * H] + gates_h[..., H : 2 * H])
+        n = jnp.tanh(g[..., 2 * H :] + r * gates_h[..., 2 * H :])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    _, ys = jax.lax.scan(step, jnp.zeros((2, B, H), jnp.float32), g2,
+                         unroll=unroll)  # (T, 2, B, H)
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)
+    y_b = jnp.swapaxes(ys[:, 1][::-1], 0, 1)
+    return jnp.concatenate([y_f, y_b], axis=-1)

@@ -134,6 +134,130 @@ def bilstm(
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 
+def bilstm_fused(
+    fwd: LSTMParams,
+    bwd: LSTMParams,
+    x: jax.Array,  # (B, T, D)
+    compute_dtype=jnp.float32,
+    unroll: int = 1,
+) -> jax.Array:
+    """Bidirectional LSTM as ONE scan of T steps.
+
+    XLA runs HLO while-loops serially, so the two independent direction
+    scans of :func:`bilstm` pay 2T sequential recurrent matmuls. Here step t
+    advances the forward direction over ``x[t]`` AND the backward direction
+    over ``x[T-1-t]`` with a single direction-batched dot_general
+    (2, B, H) x (2, H, 4H) - same FLOPs, half the sequential depth.
+    Numerics are identical to :func:`bilstm` (each direction's math is
+    unchanged; the directions never mix).
+    """
+    B, T, _ = x.shape
+    H = fwd.hidden_size
+    gx_f = input_gates(fwd, x, compute_dtype)  # (B, T, 4H)
+    gx_b = input_gates(bwd, x, compute_dtype)
+    # Step t reads forward input t and backward input T-1-t.
+    g2 = jnp.stack(
+        [jnp.swapaxes(gx_f, 0, 1), jnp.swapaxes(gx_b, 0, 1)[::-1]], axis=1
+    )  # (T, 2, B, 4H)
+    w_hh = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(compute_dtype)  # (2, H, 4H)
+
+    def step(carry, g):
+        h, c = carry  # (2, B, H) each
+        gates = g + jax.lax.dot_general(
+            h.astype(compute_dtype),
+            w_hh,
+            (((2,), (1,)), ((0,), (0,))),  # contract H, batch over direction
+            preferred_element_type=jnp.float32,
+        )
+        i, f, gg, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    zeros = jnp.zeros((2, B, H), jnp.float32)
+    _, ys = jax.lax.scan(step, (zeros, zeros), g2, unroll=unroll)  # (T, 2, B, H)
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)  # (B, T, H)
+    y_b = jnp.swapaxes(ys[:, 1][::-1], 0, 1)  # back to natural time order
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+def lstm_stack_wavefront(
+    layers: list[LSTMParams],
+    x: jax.Array,  # (B, T, D)
+    compute_dtype=jnp.float32,
+    unroll: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Stacked LSTMs as ONE wavefront scan of T + L - 1 steps.
+
+    Running L layers back-to-back costs L*T sequential recurrent matmuls
+    (layer l can't start until layer l-1 finishes the whole sequence). But
+    layer l at time t only needs layer l-1's output at time t - so a
+    diagonal wavefront (step s advances layer l over time t = s - l) runs
+    every layer concurrently in one layer-batched (L, B, 2H) x (L, 2H, 4H)
+    matmul per step: ~L x less sequential depth for the GE2E encoder
+    (SURVEY.md section 7 "Hard parts" #2).
+
+    Requires every layer to share ``hidden_size`` H and layer 0's input
+    width D <= H (input and weights are zero-padded to H, which adds no
+    terms to the matmul). Returns (last-layer outputs (B, T, H), final
+    hidden state of the last layer (B, H)) - matching ``lstm_stack``.
+    """
+    L = len(layers)
+    if L == 1:
+        ys, (h_T, _) = lstm(layers[0], x, compute_dtype=compute_dtype)
+        return ys, h_T
+    B, T, D = x.shape
+    H = layers[0].hidden_size
+    assert all(p.hidden_size == H for p in layers), "wavefront needs equal H"
+    assert D <= H, f"layer-0 input width {D} must be <= hidden size {H}"
+    assert all(p.w_ih.shape[0] == H for p in layers[1:])
+
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (0, H - D)))  # (B, T, H)
+    w_in = jnp.stack(
+        [jnp.pad(layers[0].w_ih, ((0, H - D), (0, 0)))]
+        + [p.w_ih for p in layers[1:]]
+    )  # (L, H, 4H)
+    w_hh = jnp.stack([p.w_hh for p in layers])  # (L, H, 4H)
+    w = jnp.concatenate([w_in, w_hh], axis=1).astype(compute_dtype)  # (L, 2H, 4H)
+    b = jnp.stack([p.b for p in layers]).astype(jnp.float32)[:, None, :]  # (L, 1, 4H)
+
+    S = T + L - 1
+    xs = jnp.concatenate(
+        [jnp.swapaxes(x_pad, 0, 1), jnp.zeros((L - 1, B, H), x_pad.dtype)]
+    )  # (S, B, H): layer-0 input at wavefront step s is x[s] (zeros past T)
+    layer_idx = jnp.arange(L)
+
+    def step(carry, inp):
+        h, c = carry  # (L, B, H) each
+        x_t, s = inp
+        # Layer l's input this step: layer l-1's output from the previous
+        # step (its time-(s-1) frame = this layer's time s - l).
+        lhs = jnp.concatenate(
+            [jnp.concatenate([x_t[None], h[:-1]], axis=0), h], axis=-1
+        )  # (L, B, 2H)
+        gates = jax.lax.dot_general(
+            lhs.astype(compute_dtype),
+            w,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        # Freeze layers outside their valid time range [l, l + T).
+        valid = ((s >= layer_idx) & (s < layer_idx + T))[:, None, None]
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        return (h, c), h[-1]
+
+    zeros = jnp.zeros((L, B, H), jnp.float32)
+    (h, _), ys = jax.lax.scan(
+        step, (zeros, zeros), (xs, jnp.arange(S)), unroll=unroll
+    )
+    # Last layer is valid from step L-1 on; ys[L-1 + t] = its time-t output.
+    return jnp.swapaxes(ys[L - 1 :], 0, 1), h[-1]
+
+
 def lstm_stack(
     layers: list[LSTMParams],
     x: jax.Array,

@@ -175,6 +175,15 @@ def main() -> None:
     audio_seconds = BATCH * MAX_STEPS * cfg.hop / cfg.sample_rate
     x_realtime = audio_seconds / dt
 
+    # --- training throughput + MFU (contract numbers: always run) ---------
+    if os.environ.get("BENCH_SKIP_TRAIN"):
+        pass
+    else:
+        _stage("train-step benchmark")
+        extra["train_frames_per_sec"] = round(
+            _bench_train(jax, jnp, default_hparams, trainer_lib, extra), 1
+        )
+
     # --- realistic serving: decode bucket + stop-aware early exit ---------
     if time.perf_counter() - _T0 < budget:
         _stage("compiling stop-enabled (early-exit) synthesis")
@@ -206,17 +215,6 @@ def main() -> None:
     else:
         extra["synthesis_x_realtime_stop_enabled"] = "skipped (budget)"
 
-    # --- training throughput + MFU -----------------------------------------
-    if os.environ.get("BENCH_SKIP_TRAIN"):
-        pass
-    elif time.perf_counter() - _T0 < budget:
-        _stage("train-step benchmark")
-        extra["train_frames_per_sec"] = round(
-            _bench_train(jax, jnp, default_hparams, trainer_lib, extra), 1
-        )
-    else:
-        extra["train_frames_per_sec"] = "skipped (budget)"
-
     print(json.dumps({
         "metric": "batched_synthesis_x_realtime_per_core",
         "value": round(x_realtime, 2),
@@ -230,7 +228,10 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""
     hp = default_hparams()
     models = trainer_lib.build_models(hp)
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    # B=64 is the measured throughput sweet spot on v5e (B=32: ~130k, B=64:
+    # ~190k frames/s, B=128 regresses): recurrent matmuls need >= 64 rows to
+    # amortize weight streaming, while B=128 spills.
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
     S, T = 100, 400
     rng = np.random.default_rng(0)
     batch = {
@@ -271,11 +272,17 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
         float(m["total"])
         return time.perf_counter() - t0, state
 
-    a, state = run(1, state)
-    b, state = run(4, state)
-    per = max((b - a) / 3, 1e-9)
+    # Median of 3 differential timings (2 vs 12 steps): single-shot marginal
+    # timing over the tunneled device is noisy to the point of 3x outliers.
+    pers = []
+    for _ in range(3):
+        a, state = run(2, state)
+        b, state = run(12, state)
+        pers.append(max((b - a) / 10, 1e-9))
+    per = sorted(pers)[1]
     frames_per_sec = B * T / per
 
+    extra["train_batch"] = B
     if flops:
         extra["train_step_tflops"] = round(flops / 1e12, 3)
         extra["train_mfu"] = round(flops / per / _peak_flops(jax), 4)

@@ -85,7 +85,7 @@ def tacotron_mapping(hp, jax_root: str = "tacotron") -> dict[str, Rule]:
         convert_dense, _dense_keys("decoder.attention.memory_layer", bias=False),
     )
     for i in range(len(hp.Decoder.Prenet.Sizes)):
-        m[f"{jax_root}/decoder/cell/prenet/dense_{i}"] = (
+        m[f"{jax_root}/decoder/prenet/dense_{i}"] = (
             convert_dense, _dense_keys(f"decoder.prenet.layers.{i}"),
         )
     for i in range(hp.Decoder.LSTM.Stacks):
@@ -97,10 +97,10 @@ def tacotron_mapping(hp, jax_root: str = "tacotron") -> dict[str, Rule]:
         m[f"{jax_root}/decoder/cell/attention/{name}"] = (
             conv, _dense_keys(f"decoder.attention.{name}", bias=False),
         )
-    m[f"{jax_root}/decoder/cell/frame_proj"] = (
+    m[f"{jax_root}/decoder/frame_proj"] = (
         convert_dense, _dense_keys("decoder.frame_proj"),
     )
-    m[f"{jax_root}/decoder/cell/stop_proj"] = (
+    m[f"{jax_root}/decoder/stop_proj"] = (
         convert_dense, _dense_keys("decoder.stop_proj"),
     )
 

@@ -190,6 +190,60 @@ class ConvBNBlock(nn.Module):
         return x
 
 
+class DenseParamBank(nn.Module):
+    """Declares one Dense layer's params (same names/init as ``nn.Dense``)
+    without running it, for functional application inside AND outside a
+    scanned cell (the decoder hoists its projections out of the teacher-
+    forced frame scan but still applies them per-step in AR mode)."""
+
+    input_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.input_size, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class PrenetBank(nn.Module):
+    """Param tree of ``Prenet`` (dense_{i}/kernel,bias) as plain arrays."""
+
+    input_size: int
+    sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self) -> list[tuple[jax.Array, jax.Array]]:
+        ws, d = [], self.input_size
+        for i, size in enumerate(self.sizes):
+            ws.append(DenseParamBank(d, size, name=f"dense_{i}")())
+            d = size
+        return ws
+
+
+def prenet_apply(
+    ws: list[tuple[jax.Array, jax.Array]],
+    x: jax.Array,
+    dropout_rate: float,
+    rng: jax.Array,
+) -> jax.Array:
+    """Functional Prenet: Dense -> ReLU -> always-on dropout per layer
+    (numerics match ``Prenet``/``nn.Dropout``: bernoulli keep mask,
+    x / keep_prob scaling)."""
+    keep_prob = 1.0 - dropout_rate
+    keys = jax.random.split(rng, len(ws))
+    for (kernel, bias), key in zip(ws, keys):
+        x = nn.relu(jnp.dot(x, kernel) + bias)
+        if dropout_rate > 0.0:
+            keep = jax.random.bernoulli(key, keep_prob, x.shape)
+            x = jnp.where(keep, x / keep_prob, 0.0)
+    return x
+
+
 class Prenet(nn.Module):
     """2x (Dense -> ReLU -> Dropout); dropout stays ON at inference
     (Taco2 section 2.2; SURVEY.md section 2 "Decoder")."""

@@ -31,7 +31,13 @@ from multi_speaker_tts_tpu.models.attention import (
     LocationSensitiveAttention,
     init_attention_state,
 )
-from multi_speaker_tts_tpu.models.layers import BiLSTM, ConvBNBlock, Prenet
+from multi_speaker_tts_tpu.models.layers import (
+    BiLSTM,
+    ConvBNBlock,
+    DenseParamBank,
+    PrenetBank,
+    prenet_apply,
+)
 from multi_speaker_tts_tpu.ops import lstm as lstm_ops
 from multi_speaker_tts_tpu.text import symbols
 from multi_speaker_tts_tpu.text import vocab_size as text_vocab_size
@@ -104,10 +110,16 @@ class DecoderCarry(NamedTuple):
 
 class DecoderCell(nn.Module):
     """One decoder step: prenet -> attention RNN -> LSA -> decoder RNN(s)
-    -> frame + stop projections. Scanned over frames by ``Decoder``."""
+    -> frame + stop projections. Scanned over frames by ``Decoder``.
+
+    Prenet and projection params are owned by ``Decoder`` and passed in as
+    broadcast arrays: in teacher-forced mode the prenet runs ONCE on the
+    whole target sequence before the scan and the projections ONCE on the
+    stacked scan outputs after it (one large MXU GEMM each), keeping the
+    serialized per-step path to the recurrent/attention ops only. AR modes
+    apply them per step (the frame feedback loop needs them)."""
 
     mel_dim: int
-    prenet_sizes: tuple
     prenet_dropout: float
     attention_size: int
     attention_conv_channels: int
@@ -122,13 +134,21 @@ class DecoderCell(nn.Module):
     def __call__(
         self,
         carry: DecoderCarry,
-        teacher_frame: jax.Array,  # (B, mel_dim); ignored when not teacher_forcing
+        step_in: jax.Array,  # TF: (B, P) PRENET-ed teacher frame; AR: ignored
         keys: jax.Array,  # (B, S, A)
         memory: jax.Array,  # (B, S, D_mem)
         memory_mask: jax.Array,  # (B, S)
+        prenet_ws,  # list of (kernel, bias) from Decoder's PrenetBank
+        frame_w,  # (kernel, bias) for the frame projection
+        stop_w,  # (kernel, bias) for the stop projection
     ):
-        frame_in = teacher_frame if self.teacher_forcing else carry.prev_frame
-        pre = Prenet(self.prenet_sizes, self.prenet_dropout, name="prenet")(frame_in)
+        if self.teacher_forcing:
+            pre = step_in
+        else:
+            pre = prenet_apply(
+                prenet_ws, carry.prev_frame, self.prenet_dropout,
+                self.make_rng("prenet"),
+            )
 
         hs, cs = list(carry.lstm_h), list(carry.lstm_c)
 
@@ -153,8 +173,20 @@ class DecoderCell(nn.Module):
             )(x, hs[i], cs[i])
             x = jnp.concatenate([hs[i], context], axis=-1)
 
-        frames = nn.Dense(self.mel_dim * self.n_frames_per_step, name="frame_proj")(x)
-        stop_logit = nn.Dense(1, name="stop_proj")(x)[..., 0]  # (B,)
+        if self.teacher_forcing:
+            # Projections are hoisted out of the scan (Decoder applies them
+            # to the stacked x); prev_frame is never read back in TF mode.
+            new_carry = DecoderCarry(
+                lstm_h=tuple(hs),
+                lstm_c=tuple(cs),
+                attention=attn_state,
+                context=context,
+                prev_frame=carry.prev_frame,
+            )
+            return new_carry, (x, attn_state.weights)
+
+        frames = jnp.dot(x, frame_w[0]) + frame_w[1]
+        stop_logit = (jnp.dot(x, stop_w[0]) + stop_w[1])[..., 0]  # (B,)
 
         new_carry = DecoderCarry(
             lstm_h=tuple(hs),
@@ -195,7 +227,6 @@ class Decoder(nn.Module):
     def _cell_kwargs(self, teacher_forcing: bool) -> dict:
         return dict(
             mel_dim=self.mel_dim,
-            prenet_sizes=self.prenet_sizes,
             prenet_dropout=self.prenet_dropout,
             attention_size=self.attention_size,
             attention_conv_channels=self.attention_conv_channels,
@@ -208,12 +239,13 @@ class Decoder(nn.Module):
             name="cell",
         )
 
-    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory, memory_mask):
+    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory,
+              memory_mask, banks):
         cell = nn.scan(
             DecoderCell,
             variable_broadcast="params",
             split_rngs={"params": False, "prenet": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0,) + (nn.broadcast,) * 6,
             out_axes=0,
             # Unrolling amortizes per-step loop overhead and lets XLA
             # software-pipeline the small recurrent matmuls (applies to the
@@ -221,11 +253,11 @@ class Decoder(nn.Module):
             # while_loop has a dynamic trip count and cannot unroll).
             unroll=self.scan_unroll,
         )(**self._cell_kwargs(teacher_forcing))
-        return cell(carry, inputs, keys, memory, memory_mask)
+        return cell(carry, inputs, keys, memory, memory_mask, *banks)
 
     def _ar_early_exit(
         self, carry, keys, memory, memory_mask, n_steps: int,
-        stop_threshold: float,
+        stop_threshold: float, banks,
     ):
         """AR decode as a ``while_loop`` that exits once EVERY utterance in
         the batch has crossed the stop threshold. Shapes stay static (the
@@ -256,7 +288,7 @@ class Decoder(nn.Module):
         def body_fn(mdl, c):
             carry, t, stopped, lengths, (mel_b, stop_b, align_b) = c
             new_carry, (frames, stop_logit, weights) = mdl(
-                carry, carry.prev_frame, keys, memory, memory_mask
+                carry, carry.prev_frame, keys, memory, memory_mask, *banks
             )
             mel_b = mel_b.at[t].set(frames)
             stop_b = stop_b.at[t].set(stop_logit)
@@ -301,6 +333,17 @@ class Decoder(nn.Module):
         carry = self._initial_carry(B, memory)
         lengths_steps = None
 
+        # Prenet/projection params are Decoder-owned so the teacher-forced
+        # path can apply them OUTSIDE the scan as single large GEMMs while
+        # the AR paths apply them per step (frame feedback).
+        prenet_ws = PrenetBank(self.mel_dim, self.prenet_sizes, name="prenet")()
+        x_dim = self.lstm_size + memory.shape[-1]
+        frame_w = DenseParamBank(
+            x_dim, self.mel_dim * self.n_frames_per_step, name="frame_proj"
+        )()
+        stop_w = DenseParamBank(x_dim, 1, name="stop_proj")()
+        banks = (prenet_ws, frame_w, stop_w)
+
         if teacher_mels is not None:
             T = teacher_mels.shape[1]
             assert T % r == 0, f"mel length {T} not divisible by r={r}"
@@ -311,21 +354,30 @@ class Decoder(nn.Module):
                 [jnp.zeros((B, 1, self.mel_dim), teacher_mels.dtype), group_last[:, :-1]],
                 axis=1,
             )
-            inputs = jnp.swapaxes(inputs, 0, 1)  # (n_steps, B, mel)
-            _, (frames, stops, aligns) = self._scan(
-                True, carry, inputs, keys, memory, memory_mask
+            # Hoisted prenet: one batched (B, n_steps, mel) pass, one rng
+            # (statistically identical to per-step dropout masks).
+            pre_seq = prenet_apply(
+                prenet_ws, inputs, self.prenet_dropout, self.make_rng("prenet")
             )
+            pre_seq = jnp.swapaxes(pre_seq, 0, 1)  # (n_steps, B, P)
+            _, (xs, aligns) = self._scan(
+                True, carry, pre_seq, keys, memory, memory_mask, banks
+            )
+            # Hoisted projections on the stacked scan outputs (n_steps, B, X).
+            frames = jnp.dot(xs, frame_w[0]) + frame_w[1]
+            stops = (jnp.dot(xs, stop_w[0]) + stop_w[1])[..., 0]
         else:
             assert max_steps is not None
             n_steps = max_steps // r
             if stop_threshold is not None:
                 frames, stops, aligns, lengths_steps = self._ar_early_exit(
-                    carry, keys, memory, memory_mask, n_steps, stop_threshold
+                    carry, keys, memory, memory_mask, n_steps, stop_threshold,
+                    banks,
                 )
             else:
                 dummy = jnp.zeros((n_steps, B, self.mel_dim), jnp.float32)
                 _, (frames, stops, aligns) = self._scan(
-                    False, carry, dummy, keys, memory, memory_mask
+                    False, carry, dummy, keys, memory, memory_mask, banks
                 )
 
         # (n_steps, B, mel*r) -> (B, n_steps*r, mel)
@@ -553,8 +605,6 @@ class Tacotron(nn.Module):
             memory, mask, max_steps=max_steps,
             stop_threshold=stop_threshold if early_exit else None,
         )
-        residual = self.mel_postnet(mel_pre)
-        mel_post = mel_pre + residual
 
         r = self.decoder["n_frames_per_step"] if self.decoder else 1
         if lengths_steps is None:
@@ -567,10 +617,18 @@ class Tacotron(nn.Module):
         n_steps = stops.shape[1]
         mel_lengths = lengths_steps * r  # (B,) frames
 
+        # Mask BEFORE the postnet: its time convolution must see decoded
+        # frames + zero padding only, never post-stop hallucinated frames —
+        # this also makes the early-exit and fixed-length decode paths emit
+        # bit-identical mel_post within each utterance's valid region.
         frame_idx = jnp.arange(n_steps * r)[None, :]
-        frame_mask = (frame_idx < mel_lengths[:, None]).astype(mel_post.dtype)
+        frame_mask = (frame_idx < mel_lengths[:, None]).astype(mel_pre.dtype)
+        mel_pre = mel_pre * frame_mask[..., None]
+        residual = self.mel_postnet(mel_pre)
+        mel_post = mel_pre + residual
+
         out = {
-            "mel_pre": mel_pre * frame_mask[..., None],
+            "mel_pre": mel_pre,
             "mel_post": mel_post * frame_mask[..., None],
             "stop_logits": stops,
             "alignments": aligns,

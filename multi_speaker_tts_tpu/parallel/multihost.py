@@ -33,6 +33,31 @@ def initialize_distributed(
     )
 
 
+_barrier_seq = 0
+
+
+def coordination_barrier(name: str = "sync", timeout_ms: int = 600_000) -> None:
+    """Barrier through the coordination service ONLY (no device collective).
+
+    The FIRST device collective of a run triggers the communicator
+    handshake (Gloo context init on CPU), which has a hard ~30 s key-value
+    deadline; per-host skew from compilation, checkpoint probing, or loader
+    startup easily exceeds that on a loaded machine and wedges every
+    process. Fencing with this barrier (10 min timeout, no communicator)
+    right before the first collective bounds the handshake skew to
+    milliseconds. No-op single-process."""
+    global _barrier_seq
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    _barrier_seq += 1
+    client.wait_at_barrier(f"msts_{name}_{_barrier_seq}", timeout_in_ms=timeout_ms)
+
+
 def barrier(name: str = "barrier") -> None:
     """Block until every process reaches this point (no-op single-process).
 

@@ -342,6 +342,12 @@ class Trainer:
             # of which initialization path ran.
             from jax.experimental import multihost_utils
 
+            from multi_speaker_tts_tpu.parallel import multihost
+
+            # This broadcast is the run's FIRST device collective; fence the
+            # per-host init skew (compiles, checkpoint probe) so the
+            # communicator handshake's hard 30 s deadline can't trip.
+            multihost.coordination_barrier("pre_broadcast")
             self.state = multihost_utils.broadcast_one_to_all(
                 jax.device_get(self.state)
             )

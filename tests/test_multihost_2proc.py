@@ -35,7 +35,7 @@ def main():
     if num_processes > 1:
         from multi_speaker_tts_tpu.parallel.multihost import initialize_distributed
         initialize_distributed(coordinator, num_processes, process_id)
-    assert jax.device_count() == 4, jax.devices()
+    assert jax.device_count() == 2, jax.devices()
 
     from multi_speaker_tts_tpu.data.grain_loader import make_grain_loader
     from multi_speaker_tts_tpu.hparams import tiny_test_hparams
@@ -117,22 +117,24 @@ def test_two_process_training_matches_single_process(tmp_path, tiny_hp):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
 
-    # Single-process reference: one process, 4 local devices.
-    p, log = _launch(script, "", 1, 0, pattern_dir, str(tmp_path / "ckpt1"), 4)
+    # Single-process reference: one process, 2 local devices.
+    p, log = _launch(script, "", 1, 0, pattern_dir, str(tmp_path / "ckpt1"), 2)
     try:
         assert p.wait(timeout=420) == 0, log.read_text()[-3000:]
     finally:
         p.kill()
     loss_single = _final_loss(log.read_text())
 
-    # Two processes x 2 local devices, same 4-device global mesh. Gloo's
-    # context-init key exchange has a hard 30 s deadline, so a worker stalled
-    # behind a loaded machine can wedge BOTH processes; always reap the
-    # children (a leaked deadlocked pair starves every later run).
+    # Two processes x ONE local device each, same 2-device global mesh.
+    # One device per process keeps the Gloo context init to one rank per
+    # process: with multiple local ranks, a starved PJRT dispatch pool can
+    # serialize the per-rank handshakes into a dependency cycle that only
+    # resolves by tripping Gloo's hard 30 s key-exchange deadline. Always
+    # reap the children (a leaked deadlocked pair starves every later run).
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         _launch(script, coordinator, 2, pid, pattern_dir,
-                str(tmp_path / "ckpt2"), 2)
+                str(tmp_path / "ckpt2"), 1)
         for pid in range(2)
     ]
     try:

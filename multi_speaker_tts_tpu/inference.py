@@ -57,6 +57,9 @@ class Synthesizer:
         self.mesh = mesh
         self._infer_cache: dict = {}
         self._embed_cache: dict = {}
+        # Smallest enrollment pad bucket (samples); enroll() additionally
+        # floors it so one full GE2E window of signal always exists.
+        self.enroll_bucket_floor = 1 << 13
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -108,39 +111,55 @@ class Synthesizer:
             raise ValueError("model has no GE2E speaker encoder")
         spk = self.hp.Speaker_Embedding.GE2E
         win_len, win_shift = spk.Window_Length, spk.Window_Shift
+        hop = self.dsp_cfg.hop
         embs = []
         for wav in wavs if isinstance(wavs, (list, tuple)) else [wavs]:
             if isinstance(wav, (str, pathlib.Path)):
                 wav, _ = wav_io.load_wav(wav, target_sr=self.hp.Sound.Sample_Rate)
             wav = np.asarray(wav, np.float32)
+            # Frames of the REAL signal (before bucket padding): the windows
+            # averaged into the embedding are restricted to these, so the
+            # result is exactly independent of the bucket chosen below.
+            true_frames = 1 + len(wav) // hop
             # Pad to power-of-two length buckets: one compiled program covers
             # a 2x range of enrollment durations (remote TPU compiles are
-            # ~minutes; a fresh one per wav length is unacceptable).
+            # ~minutes; a fresh one per wav length is unacceptable). The
+            # floor guarantees at least ONE full GE2E window of signal.
             #
             # Padding mode matters: the GE2E embedding is the LAST frame's
             # LSTM output (paper eq. 4), so a window whose tail reaches into
             # ZERO padding embeds as silence and washes out the speaker.
             # Wrap-padding (repeating the clip) keeps every sliding window
             # full of real same-speaker speech - the standard short-
-            # enrollment trick - and makes the embedding invariant to the
-            # internal bucket length.
-            L = 1 << max(int(np.ceil(np.log2(max(len(wav), 2)))), 13)
+            # enrollment trick - so even the window-0 fallback for sub-window
+            # clips embeds speech, not silence.
+            floor_pow = max(
+                int(np.ceil(np.log2(max((win_len - 1) * hop, 2)))),
+                int(np.ceil(np.log2(max(self.enroll_bucket_floor, 2)))),
+            )
+            L = 1 << max(int(np.ceil(np.log2(max(len(wav), 2)))), floor_pow)
             wav = np.pad(wav, (0, L - len(wav)), mode="wrap")
 
             key = ("embed", L)
             if key not in self._embed_cache:
-                def fn(params, w):
+                def fn(params, w, n_true):
                     mel = dsp.melspectrogram_auto(w[None], self.dsp_cfg)[0]
                     return self.models.ge2e.apply(
                         {"params": params["ge2e"]},
                         mel[None],
                         win_len,
                         win_shift,
+                        None,
+                        n_true[None],
                         method=self.models.ge2e.embed_utterance,
                     )[0]
 
                 self._embed_cache[key] = jax.jit(fn)
-            embs.append(self._embed_cache[key](self.params, jnp.asarray(wav)))
+            embs.append(
+                self._embed_cache[key](
+                    self.params, jnp.asarray(wav), jnp.asarray(true_frames)
+                )
+            )
         mean = jnp.stack(embs).mean(axis=0)
         mean = mean / jnp.maximum(jnp.linalg.norm(mean), 1e-6)
         return np.asarray(mean)

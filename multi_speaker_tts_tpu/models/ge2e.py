@@ -91,11 +91,30 @@ class GE2E(nn.Module):
         window_length: int,
         window_shift: int,
         window_mask: jax.Array | None = None,  # (B, W) 1 = valid window
+        true_frame_lengths: jax.Array | None = None,  # (B,) pre-padding frames
     ) -> jax.Array:
-        """Sliding-window utterance embedding (B, E), windows folded to batch."""
+        """Sliding-window utterance embedding (B, E), windows folded to batch.
+
+        ``true_frame_lengths`` (frames of the utterance BEFORE any batch/
+        bucket padding) restricts the average to windows lying fully inside
+        the real signal, making the embedding exactly independent of how much
+        padding the caller appended (the windows it keeps read identical
+        frames in every bucket). Short utterances (no window fits) fall back
+        to window 0, whose content the caller's padding scheme determines
+        (the inference path wrap-pads, so it is still real speech).
+        """
         B, T, M = mel.shape
         windows = slide_windows(mel, window_length, window_shift)  # (B, W, L, M)
         W = windows.shape[1]
+        if window_mask is None and true_frame_lengths is not None:
+            starts = jnp.minimum(
+                jnp.arange(W) * window_shift, max(T, window_length) - window_length
+            )
+            fits = (
+                starts[None, :] + window_length <= true_frame_lengths[:, None]
+            )  # (B, W)
+            first = jnp.arange(W)[None, :] == 0
+            window_mask = jnp.where(fits.any(axis=1, keepdims=True), fits, first)
         flat = windows.reshape(B * W, windows.shape[2], M)
         embs = self(flat).reshape(B, W, -1)  # (B, W, E)
         if window_mask is not None:

@@ -210,6 +210,39 @@ class DenseParamBank(nn.Module):
         return kernel, bias
 
 
+class DenseKernelBank(nn.Module):
+    """Bias-free Dense params (same name/init as ``nn.Dense(use_bias=False)``)
+    as a plain array, for functional use inside custom-VJP scans."""
+
+    input_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.input_size, self.features),
+        )
+
+
+class ConvKernelBank(nn.Module):
+    """Bias-free 1-D Conv params (same name/init as ``nn.Conv(use_bias=
+    False)``) as a plain (K, in, out) array."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+        )
+
+
 class PrenetBank(nn.Module):
     """Param tree of ``Prenet`` (dense_{i}/kernel,bias) as plain arrays."""
 

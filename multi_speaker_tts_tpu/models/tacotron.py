@@ -18,59 +18,25 @@ TPU-first structure (BASELINE.json:5):
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
-
-import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multi_speaker_tts_tpu.models.attention import (
-    AttentionState,
-    LocationSensitiveAttention,
-    init_attention_state,
-)
 from multi_speaker_tts_tpu.models.layers import (
     BiLSTM,
     ConvBNBlock,
+    ConvKernelBank,
+    DenseKernelBank,
     DenseParamBank,
     PrenetBank,
+    _LSTMParamBank,
     prenet_apply,
 )
-from multi_speaker_tts_tpu.ops import lstm as lstm_ops
+from multi_speaker_tts_tpu.ops import decoder_scan as dscan
 from multi_speaker_tts_tpu.text import symbols
 from multi_speaker_tts_tpu.text import vocab_size as text_vocab_size
-
-
-class LSTMCell(nn.Module):
-    """Single-step LSTM cell (torch gate order), for use inside the scan."""
-
-    hidden_size: int
-    compute_dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, h, c):
-        D, H = x.shape[-1], self.hidden_size
-        bound = 1.0 / math.sqrt(H)
-
-        def init(key, shape, dtype=jnp.float32):
-            return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-        params = lstm_ops.LSTMParams(
-            w_ih=self.param("w_ih", init, (D, 4 * H)),
-            w_hh=self.param("w_hh", init, (H, 4 * H)),
-            b=self.param("b", init, (4 * H,)),
-        )
-        gx = (
-            jnp.dot(
-                x.astype(self.compute_dtype),
-                params.w_ih.astype(self.compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + params.b
-        )
-        return lstm_ops.lstm_cell_step(params, gx, h, c, self.compute_dtype)
 
 
 class TextEncoder(nn.Module):
@@ -100,102 +66,60 @@ class TextEncoder(nn.Module):
         return BiLSTM(self.lstm_size, compute_dtype=self.compute_dtype, name="bilstm")(x)
 
 
-class DecoderCarry(NamedTuple):
-    lstm_h: tuple  # per-layer hidden states (B, H)
-    lstm_c: tuple  # per-layer cell states (B, H)
-    attention: AttentionState
-    context: jax.Array  # (B, D_mem)
-    prev_frame: jax.Array  # (B, mel_dim) last emitted sub-frame
+class AttentionBank(nn.Module):
+    """Location-sensitive-attention params as plain arrays; scope/param
+    names match the reference converter mapping (convert/mapping.py:
+    decoder/cell/attention/{query_layer,location_conv,location_layer,v})."""
+
+    query_size: int
+    attention_size: int
+    conv_channels: int
+    conv_kernel: int
+
+    @nn.compact
+    def __call__(self) -> dscan.AttentionParams:
+        return dscan.AttentionParams(
+            wq=DenseKernelBank(self.query_size, self.attention_size,
+                               name="query_layer")(),
+            conv_kernel=ConvKernelBank(self.conv_kernel, 2,
+                                       self.conv_channels,
+                                       name="location_conv")(),
+            wloc=DenseKernelBank(self.conv_channels, self.attention_size,
+                                 name="location_layer")(),
+            v=DenseKernelBank(self.attention_size, 1, name="v")(),
+        )
 
 
-class DecoderCell(nn.Module):
-    """One decoder step: prenet -> attention RNN -> LSA -> decoder RNN(s)
-    -> frame + stop projections. Scanned over frames by ``Decoder``.
+class DecoderCellBank(nn.Module):
+    """All per-frame decoder params (LSTM stack + attention) as plain
+    arrays, preserving the decoder/cell/... param tree of the scanned-module
+    design (checkpoint-converter contract). The actual frame loop runs in
+    ``ops.decoder_scan`` - teacher forcing through the custom-VJP scan,
+    AR through pure scan/while_loop drivers."""
 
-    Prenet and projection params are owned by ``Decoder`` and passed in as
-    broadcast arrays: in teacher-forced mode the prenet runs ONCE on the
-    whole target sequence before the scan and the projections ONCE on the
-    stacked scan outputs after it (one large MXU GEMM each), keeping the
-    serialized per-step path to the recurrent/attention ops only. AR modes
-    apply them per step (the frame feedback loop needs them)."""
-
-    mel_dim: int
-    prenet_dropout: float
+    prenet_size: int
+    memory_size: int
     attention_size: int
     attention_conv_channels: int
     attention_conv_kernel: int
     lstm_size: int
     lstm_stacks: int
-    n_frames_per_step: int
-    teacher_forcing: bool
-    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(
-        self,
-        carry: DecoderCarry,
-        step_in: jax.Array,  # TF: (B, P) PRENET-ed teacher frame; AR: ignored
-        keys: jax.Array,  # (B, S, A)
-        memory: jax.Array,  # (B, S, D_mem)
-        memory_mask: jax.Array,  # (B, S)
-        prenet_ws,  # list of (kernel, bias) from Decoder's PrenetBank
-        frame_w,  # (kernel, bias) for the frame projection
-        stop_w,  # (kernel, bias) for the stop projection
-    ):
-        if self.teacher_forcing:
-            pre = step_in
-        else:
-            pre = prenet_apply(
-                prenet_ws, carry.prev_frame, self.prenet_dropout,
-                self.make_rng("prenet"),
-            )
-
-        hs, cs = list(carry.lstm_h), list(carry.lstm_c)
-
-        # Attention RNN (layer 0).
-        attn_in = jnp.concatenate([pre, carry.context], axis=-1)
-        hs[0], cs[0] = LSTMCell(
-            self.lstm_size, self.compute_dtype, name="lstm_0"
-        )(attn_in, hs[0], cs[0])
-
-        context, attn_state = LocationSensitiveAttention(
+    def __call__(self) -> dscan.DecoderScanParams:
+        lstm = []
+        d = self.prenet_size + self.memory_size
+        for i in range(self.lstm_stacks):
+            lstm.append(_LSTMParamBank(d, self.lstm_size, name=f"lstm_{i}")())
+            d = self.lstm_size + self.memory_size
+        ap = AttentionBank(
+            self.lstm_size,
             self.attention_size,
             self.attention_conv_channels,
             self.attention_conv_kernel,
             name="attention",
-        )(hs[0], keys, memory, carry.attention, memory_mask)
-
-        # Decoder RNN stack (layers 1..n-1).
-        x = jnp.concatenate([hs[0], context], axis=-1)
-        for i in range(1, self.lstm_stacks):
-            hs[i], cs[i] = LSTMCell(
-                self.lstm_size, self.compute_dtype, name=f"lstm_{i}"
-            )(x, hs[i], cs[i])
-            x = jnp.concatenate([hs[i], context], axis=-1)
-
-        if self.teacher_forcing:
-            # Projections are hoisted out of the scan (Decoder applies them
-            # to the stacked x); prev_frame is never read back in TF mode.
-            new_carry = DecoderCarry(
-                lstm_h=tuple(hs),
-                lstm_c=tuple(cs),
-                attention=attn_state,
-                context=context,
-                prev_frame=carry.prev_frame,
-            )
-            return new_carry, (x, attn_state.weights)
-
-        frames = jnp.dot(x, frame_w[0]) + frame_w[1]
-        stop_logit = (jnp.dot(x, stop_w[0]) + stop_w[1])[..., 0]  # (B,)
-
-        new_carry = DecoderCarry(
-            lstm_h=tuple(hs),
-            lstm_c=tuple(cs),
-            attention=attn_state,
-            context=context,
-            prev_frame=frames[..., -self.mel_dim :],
-        )
-        return new_carry, (frames, stop_logit, attn_state.weights)
+        )()
+        return dscan.DecoderScanParams(lstm=tuple(lstm), attention=ap)
 
 
 class Decoder(nn.Module):
@@ -212,103 +136,6 @@ class Decoder(nn.Module):
     n_frames_per_step: int
     scan_unroll: int = 1  # unroll factor for the teacher-forced frame scan
     compute_dtype: jnp.dtype = jnp.float32
-
-    def _initial_carry(self, batch: int, memory: jax.Array) -> DecoderCarry:
-        H = self.lstm_size
-        zeros = lambda: jnp.zeros((batch, H), jnp.float32)  # noqa: E731
-        return DecoderCarry(
-            lstm_h=tuple(zeros() for _ in range(self.lstm_stacks)),
-            lstm_c=tuple(zeros() for _ in range(self.lstm_stacks)),
-            attention=init_attention_state(batch, memory.shape[1]),
-            context=jnp.zeros((batch, memory.shape[-1]), jnp.float32),
-            prev_frame=jnp.zeros((batch, self.mel_dim), jnp.float32),
-        )
-
-    def _cell_kwargs(self, teacher_forcing: bool) -> dict:
-        return dict(
-            mel_dim=self.mel_dim,
-            prenet_dropout=self.prenet_dropout,
-            attention_size=self.attention_size,
-            attention_conv_channels=self.attention_conv_channels,
-            attention_conv_kernel=self.attention_conv_kernel,
-            lstm_size=self.lstm_size,
-            lstm_stacks=self.lstm_stacks,
-            n_frames_per_step=self.n_frames_per_step,
-            teacher_forcing=teacher_forcing,
-            compute_dtype=self.compute_dtype,
-            name="cell",
-        )
-
-    def _scan(self, teacher_forcing: bool, carry, inputs, keys, memory,
-              memory_mask, banks):
-        cell = nn.scan(
-            DecoderCell,
-            variable_broadcast="params",
-            split_rngs={"params": False, "prenet": True},
-            in_axes=(0,) + (nn.broadcast,) * 6,
-            out_axes=0,
-            # Unrolling amortizes per-step loop overhead and lets XLA
-            # software-pipeline the small recurrent matmuls (applies to the
-            # teacher-forced and fixed-length AR scans; the early-exit
-            # while_loop has a dynamic trip count and cannot unroll).
-            unroll=self.scan_unroll,
-        )(**self._cell_kwargs(teacher_forcing))
-        return cell(carry, inputs, keys, memory, memory_mask, *banks)
-
-    def _ar_early_exit(
-        self, carry, keys, memory, memory_mask, n_steps: int,
-        stop_threshold: float, banks,
-    ):
-        """AR decode as a ``while_loop`` that exits once EVERY utterance in
-        the batch has crossed the stop threshold. Shapes stay static (the
-        output buffers are allocated at n_steps); only the trip count is
-        dynamic, so serving latency tracks actual speech length instead of
-        Max_Step (the scan path always pays the full frame budget)."""
-        B, S = memory_mask.shape
-        cell = DecoderCell(**self._cell_kwargs(False))
-        bufs = (
-            jnp.zeros((n_steps, B, self.mel_dim * self.n_frames_per_step), jnp.float32),
-            # Filler stop logits at -1e4: sigmoid ~ 0 so steps the loop never
-            # ran can't read as "stopped" downstream.
-            jnp.full((n_steps, B), -1e4, jnp.float32),
-            jnp.zeros((n_steps, B, S), jnp.float32),
-        )
-        init = (
-            carry,
-            jnp.zeros((), jnp.int32),  # t
-            jnp.zeros((B,), bool),  # stopped flags
-            jnp.zeros((B,), jnp.int32),  # decoded steps per utterance
-            bufs,
-        )
-
-        def cond_fn(mdl, c):
-            _, t, stopped, _, _ = c
-            return (t < n_steps) & ~jnp.all(stopped)
-
-        def body_fn(mdl, c):
-            carry, t, stopped, lengths, (mel_b, stop_b, align_b) = c
-            new_carry, (frames, stop_logit, weights) = mdl(
-                carry, carry.prev_frame, keys, memory, memory_mask, *banks
-            )
-            mel_b = mel_b.at[t].set(frames)
-            stop_b = stop_b.at[t].set(stop_logit)
-            align_b = align_b.at[t].set(weights)
-            lengths = lengths + (~stopped).astype(jnp.int32)
-            stopped = stopped | (
-                jax.nn.sigmoid(stop_logit.astype(jnp.float32)) > stop_threshold
-            )
-            return (new_carry, t + 1, stopped, lengths, (mel_b, stop_b, align_b))
-
-        if self.is_mutable_collection("params"):
-            # Variables cannot be initialized inside a while_loop body; one
-            # manual body step creates them (init-time only).
-            final = body_fn(cell, init)
-        else:
-            final = nn.while_loop(
-                cond_fn, body_fn, cell, init, split_rngs={"prenet": True}
-            )
-        _, _, _, lengths_steps, (frames, stops, aligns) = final
-        return frames, stops, aligns, lengths_steps
 
     @nn.compact
     def __call__(  # noqa: D401
@@ -330,8 +157,22 @@ class Decoder(nn.Module):
         keys = nn.Dense(self.attention_size, use_bias=False, name="memory_layer")(
             memory.astype(jnp.float32)
         )
-        carry = self._initial_carry(B, memory)
         lengths_steps = None
+
+        # All per-frame params as plain arrays: the frame loop itself is
+        # pure (ops/decoder_scan.py) - the teacher-forced path runs the
+        # custom-VJP scan whose backward emits gate grads and computes every
+        # big dW as ONE post-loop GEMM instead of per-step accumulation.
+        cellp = DecoderCellBank(
+            prenet_size=self.prenet_sizes[-1],
+            memory_size=memory.shape[-1],
+            attention_size=self.attention_size,
+            attention_conv_channels=self.attention_conv_channels,
+            attention_conv_kernel=self.attention_conv_kernel,
+            lstm_size=self.lstm_size,
+            lstm_stacks=self.lstm_stacks,
+            name="cell",
+        )()
 
         # Prenet/projection params are Decoder-owned so the teacher-forced
         # path can apply them OUTSIDE the scan as single large GEMMs while
@@ -342,7 +183,9 @@ class Decoder(nn.Module):
             x_dim, self.mel_dim * self.n_frames_per_step, name="frame_proj"
         )()
         stop_w = DenseParamBank(x_dim, 1, name="stop_proj")()
-        banks = (prenet_ws, frame_w, stop_w)
+
+        mem_f32 = memory.astype(jnp.float32)
+        mask_f32 = memory_mask.astype(jnp.float32)
 
         if teacher_mels is not None:
             T = teacher_mels.shape[1]
@@ -360,8 +203,9 @@ class Decoder(nn.Module):
                 prenet_ws, inputs, self.prenet_dropout, self.make_rng("prenet")
             )
             pre_seq = jnp.swapaxes(pre_seq, 0, 1)  # (n_steps, B, P)
-            _, (xs, aligns) = self._scan(
-                True, carry, pre_seq, keys, memory, memory_mask, banks
+            xs, aligns = dscan.decoder_tf_scan(
+                cellp, pre_seq, keys, mem_f32, mask_f32,
+                self.compute_dtype, self.scan_unroll,
             )
             # Hoisted projections on the stacked scan outputs (n_steps, B, X).
             frames = jnp.dot(xs, frame_w[0]) + frame_w[1]
@@ -369,15 +213,29 @@ class Decoder(nn.Module):
         else:
             assert max_steps is not None
             n_steps = max_steps // r
+            rng = self.make_rng("prenet")
+
+            def prenet_fn(frame, rngkey):
+                return prenet_apply(
+                    prenet_ws, frame, self.prenet_dropout, rngkey
+                )
+
+            def project_fn(x):
+                frames = jnp.dot(x, frame_w[0]) + frame_w[1]
+                stop_logit = (jnp.dot(x, stop_w[0]) + stop_w[1])[..., 0]
+                return frames, stop_logit
+
             if stop_threshold is not None:
-                frames, stops, aligns, lengths_steps = self._ar_early_exit(
-                    carry, keys, memory, memory_mask, n_steps, stop_threshold,
-                    banks,
+                frames, stops, aligns, lengths_steps = dscan.decoder_ar_early_exit(
+                    cellp, prenet_fn, project_fn, keys, mem_f32, mask_f32,
+                    n_steps, stop_threshold, rng, self.mel_dim,
+                    self.compute_dtype,
                 )
             else:
-                dummy = jnp.zeros((n_steps, B, self.mel_dim), jnp.float32)
-                _, (frames, stops, aligns) = self._scan(
-                    False, carry, dummy, keys, memory, memory_mask, banks
+                frames, stops, aligns = dscan.decoder_ar_scan(
+                    cellp, prenet_fn, project_fn, keys, mem_f32, mask_f32,
+                    n_steps, rng, self.mel_dim, self.compute_dtype,
+                    self.scan_unroll,
                 )
 
         # (n_steps, B, mel*r) -> (B, n_steps*r, mel)

@@ -18,6 +18,7 @@ frames).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -181,8 +182,196 @@ def bilstm_fused(
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 
+def _wavefront_weights(layers, H: int, D: int, compute_dtype):
+    """Layer-stacked ``[W_ih; W_hh]`` (L, 2H, 4H) + bias (L, 1, 4H)."""
+    w_in = jnp.stack(
+        [jnp.pad(layers[0].w_ih, ((0, H - D), (0, 0)))]
+        + [p.w_ih for p in layers[1:]]
+    )  # (L, H, 4H)
+    w_hh = jnp.stack([p.w_hh for p in layers])  # (L, H, 4H)
+    w = jnp.concatenate([w_in, w_hh], axis=1).astype(compute_dtype)
+    b = jnp.stack([p.b for p in layers]).astype(jnp.float32)[:, None, :]
+    return w, b
+
+
+def _wavefront_step(w, b, layer_idx, T, compute_dtype, carry, inp):
+    """One wavefront step; returns (carry', (h_out, gates))."""
+    h, c = carry  # (L, B, H) each
+    x_t, s = inp
+    # Layer l's input this step: layer l-1's output from the previous
+    # step (its time-(s-1) frame = this layer's time s - l).
+    lhs = jnp.concatenate(
+        [jnp.concatenate([x_t[None], h[:-1]], axis=0), h], axis=-1
+    )  # (L, B, 2H)
+    gates = jax.lax.dot_general(
+        lhs.astype(compute_dtype),
+        w,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + b
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    # Freeze layers outside their valid time range [l, l + T).
+    valid = ((s >= layer_idx) & (s < layer_idx + T))[:, None, None]
+    h = jnp.where(valid, h_new, h)
+    c = jnp.where(valid, c_new, c)
+    return (h, c), (h[-1], gates)
+
+
+def _wavefront_setup(layers, x, compute_dtype):
+    L = len(layers)
+    B, T, D = x.shape
+    H = layers[0].hidden_size
+    assert all(p.hidden_size == H for p in layers), "wavefront needs equal H"
+    assert D <= H, f"layer-0 input width {D} must be <= hidden size {H}"
+    assert all(p.w_ih.shape[0] == H for p in layers[1:])
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (0, H - D)))  # (B, T, H)
+    w, b = _wavefront_weights(layers, H, D, compute_dtype)
+    S = T + L - 1
+    xs = jnp.concatenate(
+        [jnp.swapaxes(x_pad, 0, 1), jnp.zeros((L - 1, B, H), x_pad.dtype)]
+    )  # (S, B, H): layer-0 input at wavefront step s is x[s] (zeros past T)
+    return L, B, T, D, H, S, xs, w, b
+
+
+def lstm_stack_wavefront_ref(
+    layers, x: jax.Array, compute_dtype=jnp.float32, unroll: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Plain-scan wavefront (XLA autodiff); the custom-VJP test oracle."""
+    L, B, T, D, H, S, xs, w, b = _wavefront_setup(layers, x, compute_dtype)
+    layer_idx = jnp.arange(L)
+
+    def step(carry, inp):
+        carry, (h_out, _) = _wavefront_step(
+            w, b, layer_idx, T, compute_dtype, carry, inp
+        )
+        return carry, h_out
+
+    zeros = jnp.zeros((L, B, H), jnp.float32)
+    (h, _), ys = jax.lax.scan(
+        step, (zeros, zeros), (xs, jnp.arange(S)), unroll=unroll
+    )
+    # Last layer is valid from step L-1 on; ys[L-1 + t] = its time-t output.
+    return jnp.swapaxes(ys[L - 1 :], 0, 1), h[-1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _wavefront_custom(layers, x, compute_dtype, unroll):
+    return lstm_stack_wavefront_ref(layers, x, compute_dtype, unroll)
+
+
+def _wavefront_fwd(layers, x, compute_dtype, unroll):
+    L, B, T, D, H, S, xs, w, b = _wavefront_setup(layers, x, compute_dtype)
+    layer_idx = jnp.arange(L)
+
+    def step(carry, inp):
+        new_carry, (h_out, gates) = _wavefront_step(
+            w, b, layer_idx, T, compute_dtype, carry, inp
+        )
+        return new_carry, (h_out, gates, new_carry[0], new_carry[1])
+
+    zeros = jnp.zeros((L, B, H), jnp.float32)
+    (h, _), (ys, g_seq, h_seq, c_seq) = jax.lax.scan(
+        step, (zeros, zeros), (xs, jnp.arange(S)), unroll=unroll
+    )
+    out = (jnp.swapaxes(ys[L - 1 :], 0, 1), h[-1])
+    res = (layers, x, xs, g_seq, h_seq, c_seq)
+    return out, res
+
+
+def _wavefront_bwd(compute_dtype, unroll, res, cts):
+    """Reverse wavefront emitting per-step gate grads; every dW is ONE
+    post-loop contraction instead of a per-step (L, 2H, 4H) accumulation
+    (which costs ~100 MB of HBM read+write per step - measured 10x the
+    forward time for the GE2E stack under XLA autodiff)."""
+    layers, x, xs, g_seq, h_seq, c_seq = res
+    d_ys, d_hT = cts
+    cd = compute_dtype
+    L = len(layers)
+    B, T, D = x.shape
+    H = layers[0].hidden_size
+    S = T + L - 1
+    layer_idx = jnp.arange(L)
+    w, _ = _wavefront_weights(layers, H, D, cd)
+    w_T = jnp.swapaxes(w, 1, 2)  # (L, 4H, 2H)
+
+    # State the step READ (post-step state of s-1; zeros at s=0).
+    zeros = jnp.zeros((1, L, B, H), jnp.float32)
+    h_prev_seq = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
+    # Output cotangents per wavefront step: ys[L-1 + t] carries d_ys[:, t].
+    d_ys_steps = jnp.concatenate(
+        [jnp.zeros((L - 1, B, H), jnp.float32), jnp.swapaxes(d_ys, 0, 1)]
+    )  # (S, B, H)
+
+    def cell_from_gates(g, c_prev):
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, c_new
+
+    def bwd_step(carry, inp):
+        dh, dc = carry  # (L, B, H): grads of post-step state
+        d_y, gates, c_prev, s = inp
+        dh = dh.at[-1].add(d_y)
+        valid = ((s >= layer_idx) & (s < layer_idx + T))[:, None, None]
+        # where(valid, new, old): invalid lanes pass the grad straight
+        # through to the previous step's state.
+        dh_new = jnp.where(valid, dh, 0.0)
+        dc_new = jnp.where(valid, dc, 0.0)
+        dh_pass = jnp.where(valid, 0.0, dh)
+        dc_pass = jnp.where(valid, 0.0, dc)
+        _, cell_vjp = jax.vjp(cell_from_gates, gates, c_prev)
+        dgates, dc_prev = cell_vjp((dh_new, dc_new))
+        dlhs = jax.lax.dot_general(
+            dgates.astype(cd), w_T,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (L, B, 2H): [d input | d h_recurrent]
+        d_in = dlhs[..., :H]  # layer 0: dx_t; layer l>0: d h_{l-1} (prev step)
+        dh_prev = dlhs[..., H:]
+        new_dh = dh_pass + dh_prev
+        new_dh = new_dh.at[:-1].add(d_in[1:])
+        new_dc = dc_pass + dc_prev
+        return (new_dh, new_dc), (dgates, d_in[0])
+
+    dh0 = jnp.zeros((L, B, H), jnp.float32).at[-1].set(d_hT)
+    dc0 = jnp.zeros((L, B, H), jnp.float32)
+    inputs = (d_ys_steps, g_seq, c_prev_seq, jnp.arange(S))
+    _, (dG, dxs) = jax.lax.scan(
+        bwd_step, (dh0, dc0), inputs, reverse=True, unroll=unroll
+    )
+
+    # Deferred weight grads: lhs_s = [ [x_s | h_prev[:-1]] , h_prev ].
+    first_half = jnp.concatenate(
+        [xs[:, None], h_prev_seq[:, :-1]], axis=1
+    )  # (S, L, B, H)
+    lhs_seq = jnp.concatenate([first_half, h_prev_seq], axis=-1)  # (S, L, B, 2H)
+    dW = jax.lax.dot_general(
+        jnp.swapaxes(lhs_seq, 0, 1).astype(cd),  # (L, S, B, 2H)
+        jnp.swapaxes(dG, 0, 1).astype(cd),  # (L, S, B, 4H)
+        (((1, 2), (1, 2)), ((0,), (0,))),  # contract S, B; batch L
+        preferred_element_type=jnp.float32,
+    )  # (L, 2H, 4H)
+    db = dG.sum(axis=(0, 2))  # (L, 4H)
+
+    dlayers = []
+    for l in range(L):
+        d_ih = dW[l, :H]
+        if l == 0:
+            d_ih = d_ih[: layers[0].w_ih.shape[0]]  # unpad to (D, 4H)
+        dlayers.append(
+            LSTMParams(w_ih=d_ih, w_hh=dW[l, H:], b=db[l])
+        )
+    dx = jnp.swapaxes(dxs[:T], 0, 1)[..., :D]  # (B, T, D)
+    # Match the input pytree type (list or tuple of LSTMParams).
+    dlayers = type(layers)(dlayers)
+    return (dlayers, dx)
+
+
 def lstm_stack_wavefront(
-    layers: list[LSTMParams],
+    layers,
     x: jax.Array,  # (B, T, D)
     compute_dtype=jnp.float32,
     unroll: int = 1,
@@ -195,67 +384,22 @@ def lstm_stack_wavefront(
     diagonal wavefront (step s advances layer l over time t = s - l) runs
     every layer concurrently in one layer-batched (L, B, 2H) x (L, 2H, 4H)
     matmul per step: ~L x less sequential depth for the GE2E encoder
-    (SURVEY.md section 7 "Hard parts" #2).
+    (SURVEY.md section 7 "Hard parts" #2). The backward pass is hand-written
+    (:func:`_wavefront_bwd`): the reverse scan carries only state grads and
+    the weight gradients become one post-loop contraction.
 
     Requires every layer to share ``hidden_size`` H and layer 0's input
     width D <= H (input and weights are zero-padded to H, which adds no
     terms to the matmul). Returns (last-layer outputs (B, T, H), final
     hidden state of the last layer (B, H)) - matching ``lstm_stack``.
     """
-    L = len(layers)
-    if L == 1:
+    if len(layers) == 1:
         ys, (h_T, _) = lstm(layers[0], x, compute_dtype=compute_dtype)
         return ys, h_T
-    B, T, D = x.shape
-    H = layers[0].hidden_size
-    assert all(p.hidden_size == H for p in layers), "wavefront needs equal H"
-    assert D <= H, f"layer-0 input width {D} must be <= hidden size {H}"
-    assert all(p.w_ih.shape[0] == H for p in layers[1:])
+    return _wavefront_custom(tuple(layers), x, compute_dtype, unroll)
 
-    x_pad = jnp.pad(x, ((0, 0), (0, 0), (0, H - D)))  # (B, T, H)
-    w_in = jnp.stack(
-        [jnp.pad(layers[0].w_ih, ((0, H - D), (0, 0)))]
-        + [p.w_ih for p in layers[1:]]
-    )  # (L, H, 4H)
-    w_hh = jnp.stack([p.w_hh for p in layers])  # (L, H, 4H)
-    w = jnp.concatenate([w_in, w_hh], axis=1).astype(compute_dtype)  # (L, 2H, 4H)
-    b = jnp.stack([p.b for p in layers]).astype(jnp.float32)[:, None, :]  # (L, 1, 4H)
 
-    S = T + L - 1
-    xs = jnp.concatenate(
-        [jnp.swapaxes(x_pad, 0, 1), jnp.zeros((L - 1, B, H), x_pad.dtype)]
-    )  # (S, B, H): layer-0 input at wavefront step s is x[s] (zeros past T)
-    layer_idx = jnp.arange(L)
-
-    def step(carry, inp):
-        h, c = carry  # (L, B, H) each
-        x_t, s = inp
-        # Layer l's input this step: layer l-1's output from the previous
-        # step (its time-(s-1) frame = this layer's time s - l).
-        lhs = jnp.concatenate(
-            [jnp.concatenate([x_t[None], h[:-1]], axis=0), h], axis=-1
-        )  # (L, B, 2H)
-        gates = jax.lax.dot_general(
-            lhs.astype(compute_dtype),
-            w,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) + b
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        # Freeze layers outside their valid time range [l, l + T).
-        valid = ((s >= layer_idx) & (s < layer_idx + T))[:, None, None]
-        h = jnp.where(valid, h_new, h)
-        c = jnp.where(valid, c_new, c)
-        return (h, c), h[-1]
-
-    zeros = jnp.zeros((L, B, H), jnp.float32)
-    (h, _), ys = jax.lax.scan(
-        step, (zeros, zeros), (xs, jnp.arange(S)), unroll=unroll
-    )
-    # Last layer is valid from step L-1 on; ys[L-1 + t] = its time-t output.
-    return jnp.swapaxes(ys[L - 1 :], 0, 1), h[-1]
+_wavefront_custom.defvjp(_wavefront_fwd, _wavefront_bwd)
 
 
 def lstm_stack(

@@ -120,3 +120,54 @@ def test_lstm_grad_finite(params_and_input):
     g = jax.grad(loss)(params)
     for leaf in jax.tree.leaves(g):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_wavefront_matches_sequential_stack(params_and_input):
+    """Wavefront == layer-by-layer stack (forward numerics)."""
+    x, params = params_and_input
+    key = jax.random.PRNGKey(2)
+    H = params.hidden_size
+    layers = [params] + [
+        lstm_ops.init_lstm_params(jax.random.fold_in(key, i), H, H)
+        for i in range(2)
+    ]
+    ys_seq, hT_seq = lstm_ops.lstm_stack(layers, jnp.asarray(x))
+    ys_wf, hT_wf = lstm_ops.lstm_stack_wavefront(layers, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ys_wf), np.asarray(ys_seq), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hT_wf), np.asarray(hT_seq), atol=2e-6)
+
+
+def test_wavefront_custom_vjp_matches_autodiff(params_and_input):
+    """The hand-written wavefront backward must match XLA autodiff of the
+    reference scan for every weight and for the input."""
+    x, params = params_and_input
+    key = jax.random.PRNGKey(3)
+    H = params.hidden_size
+    layers = tuple(
+        [params]
+        + [
+            lstm_ops.init_lstm_params(jax.random.fold_in(key, i), H, H)
+            for i in range(2)
+        ]
+    )
+    xj = jnp.asarray(x)
+
+    def loss(fn, layers, xj):
+        ys, h_T = fn(layers, xj)
+        wy = jnp.cos(jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 0.01)
+        return jnp.sum(ys * wy) + jnp.sum(h_T * 0.7)
+
+    g_ref = jax.grad(
+        lambda l, v: loss(lstm_ops.lstm_stack_wavefront_ref, l, v), argnums=(0, 1)
+    )(layers, xj)
+    g_cus = jax.grad(
+        lambda l, v: loss(lstm_ops.lstm_stack_wavefront, l, v), argnums=(0, 1)
+    )(layers, xj)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0], jax.tree.leaves(g_cus)
+    ):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * scale,
+            err_msg=f"wavefront grad mismatch at {jax.tree_util.keystr(path)}",
+        )

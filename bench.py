@@ -229,8 +229,9 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     hp = default_hparams()
     models = trainer_lib.build_models(hp)
     # B=64 is the measured throughput sweet spot on v5e (B=32: ~130k, B=64:
-    # ~190k frames/s, B=128 regresses): recurrent matmuls need >= 64 rows to
-    # amortize weight streaming, while B=128 spills.
+    # 295k, B=96: 297k, B=128: 288k frames/s with the custom-VJP scans):
+    # recurrent matmuls need >= 64 rows to amortize weight streaming, and
+    # throughput plateaus past that - the sequential scan depth dominates.
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
     S, T = 100, 400
     rng = np.random.default_rng(0)

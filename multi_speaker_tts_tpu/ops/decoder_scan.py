@@ -38,7 +38,8 @@ from multi_speaker_tts_tpu.ops.lstm import LSTMParams
 
 
 class AttentionParams(NamedTuple):
-    """Location-sensitive attention parameters (models/attention.py)."""
+    """Location-sensitive attention parameters (Taco2 arXiv:1712.05884
+    section 2.2; content + cumulative-location conv features)."""
 
     wq: jax.Array  # (H, A) query projection, no bias
     conv_kernel: jax.Array  # (K, 2, C) location conv, no bias

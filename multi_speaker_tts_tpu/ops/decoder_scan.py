@@ -280,7 +280,7 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
     fused_T = tuple(w.T for w in _fused_weights(p, cd))
 
     def bwd_step(carry, inp):
-        (dh, dc, dctx_c, dw_c, dcum_c, dkeys_acc, dap_acc) = carry
+        (dh, dc, dctx_c, dw_c, dcum_c, dkeys_acc, dap_acc, db_acc) = carry
         (d_x, d_w_out, gates, c_prev, h0_t, w_prev_t, cum_prev_t) = inp
 
         dh = list(dh)
@@ -330,11 +330,18 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
         dh[0] = dcat0[:, P + D :]
         dc[0] = dc_prev_0
 
+        # Bias grads accumulate in f32 in the (tiny) carry; the stacked dG
+        # outputs are emitted in the compute dtype, which is what the
+        # deferred dW GEMMs consume - an f32 dG buffer would add ~1.7 GB of
+        # pure materialize/cast HBM traffic at T=400, B=64.
+        db_acc = tuple(
+            a + g.sum(axis=0) for a, g in zip(db_acc, dgates)
+        )
         new_carry = (
             tuple(dh), tuple(dc), dctx_prev, dw_prev, dcum_prev,
-            dkeys_acc, dap_acc,
+            dkeys_acc, dap_acc, db_acc,
         )
-        outs = (tuple(dgates), dpre_t, dctx)
+        outs = (tuple(g.astype(cd) for g in dgates), dpre_t, dctx)
         return new_carry, outs
 
     zero_carry = (
@@ -345,6 +352,7 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
         jnp.zeros((B, S), jnp.float32),
         jnp.zeros_like(keys, dtype=jnp.float32),
         zeros_ap,
+        tuple(jnp.zeros((4 * H,), jnp.float32) for _ in range(n)),
     )
     inputs = (
         d_xs, d_ws, tuple(g_seq), tuple(c_prev_seq),
@@ -353,19 +361,19 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
     final, (dG, dpre_seq, dctx_seq) = jax.lax.scan(
         bwd_step, zero_carry, inputs, reverse=True, unroll=bwd_unroll
     )
-    (_, _, _, _, _, dkeys, dap) = final
+    (_, _, _, _, _, dkeys, dap, db) = final
 
     # Deferred weight gradients: one big GEMM per matrix.
     def big_dot(a2d, b2d):
         return jnp.dot(
-            a2d.T.astype(cd), b2d.astype(cd),
+            a2d.T.astype(cd), b2d,
             preferred_element_type=jnp.float32,
         ).astype(jnp.float32)
 
     TB = T * B
     dlstm = []
     for i in range(n):
-        dGi = dG[i].reshape(TB, 4 * H)
+        dGi = dG[i].reshape(TB, 4 * H)  # already compute dtype
         if i == 0:
             xin = jnp.concatenate([pre_seq, ctx_prev_seq], axis=-1)
         else:
@@ -376,9 +384,7 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
         )
         dcat = big_dot(xh, dGi)  # (din + H, 4H) = [dW_ih; dW_hh]
         dlstm.append(
-            LSTMParams(
-                w_ih=dcat[:din], w_hh=dcat[din:], b=dGi.sum(axis=0)
-            )
+            LSTMParams(w_ih=dcat[:din], w_hh=dcat[din:], b=db[i])
         )
 
     # Memory gradient: ctx_t = w_t @ memory  =>  dMem = sum_t w_t^T dctx_t.

@@ -312,7 +312,7 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
         return h_new, c_new
 
     def bwd_step(carry, inp):
-        dh, dc = carry  # (L, B, H): grads of post-step state
+        dh, dc, db = carry  # (L, B, H) state grads; (L, 4H) f32 bias grad
         d_y, gates, c_prev, s = inp
         dh = dh.at[-1].add(d_y)
         valid = ((s >= layer_idx) & (s < layer_idx + T))[:, None, None]
@@ -324,8 +324,9 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
         dc_pass = jnp.where(valid, 0.0, dc)
         _, cell_vjp = jax.vjp(cell_from_gates, gates, c_prev)
         dgates, dc_prev = cell_vjp((dh_new, dc_new))
+        dg_cd = dgates.astype(cd)
         dlhs = jax.lax.dot_general(
-            dgates.astype(cd), w_T,
+            dg_cd, w_T,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (L, B, 2H): [d input | d h_recurrent]
@@ -334,13 +335,18 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
         new_dh = dh_pass + dh_prev
         new_dh = new_dh.at[:-1].add(d_in[1:])
         new_dc = dc_pass + dc_prev
-        return (new_dh, new_dc), (dgates, d_in[0])
+        # Bias grad accumulates in f32 in the (tiny) carry so the stacked
+        # dG output can be emitted in the compute dtype - dW consumes it in
+        # that dtype anyway, and the f32 buffer would dominate backward HBM
+        # traffic (measured ~3 ms of pure materialize/cast at S=162, B=64).
+        return (new_dh, new_dc, db + dgates.sum(axis=1)), (dg_cd, d_in[0])
 
     dh0 = jnp.zeros((L, B, H), jnp.float32).at[-1].set(d_hT)
     dc0 = jnp.zeros((L, B, H), jnp.float32)
+    db0 = jnp.zeros((L, 4 * H), jnp.float32)
     inputs = (d_ys_steps, g_seq, c_prev_seq, jnp.arange(S))
-    _, (dG, dxs) = jax.lax.scan(
-        bwd_step, (dh0, dc0), inputs, reverse=True, unroll=unroll
+    (_, _, db), (dG, dxs) = jax.lax.scan(
+        bwd_step, (dh0, dc0, db0), inputs, reverse=True, unroll=unroll
     )
 
     # Deferred weight grads: lhs_s = [ [x_s | h_prev[:-1]] , h_prev ].
@@ -350,11 +356,10 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
     lhs_seq = jnp.concatenate([first_half, h_prev_seq], axis=-1)  # (S, L, B, 2H)
     dW = jax.lax.dot_general(
         jnp.swapaxes(lhs_seq, 0, 1).astype(cd),  # (L, S, B, 2H)
-        jnp.swapaxes(dG, 0, 1).astype(cd),  # (L, S, B, 4H)
+        jnp.swapaxes(dG, 0, 1),  # (L, S, B, 4H), already compute dtype
         (((1, 2), (1, 2)), ((0,), (0,))),  # contract S, B; batch L
         preferred_element_type=jnp.float32,
     )  # (L, 2H, 4H)
-    db = dG.sum(axis=(0, 2))  # (L, 4H)
 
     dlayers = []
     for l in range(L):

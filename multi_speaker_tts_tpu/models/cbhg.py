@@ -36,7 +36,7 @@ class CBHG(nn.Module):
         bank = [
             ConvBNBlock(
                 self.bank_channels, k, activation="relu", dropout_rate=0.0,
-                name=f"bank_{k - 1}",
+                dtype=self.compute_dtype, name=f"bank_{k - 1}",
             )(x, train=train)
             for k in range(1, self.bank_k + 1)
         ]
@@ -45,12 +45,13 @@ class CBHG(nn.Module):
 
         y = ConvBNBlock(
             self.projection_channels, 3, activation="relu", dropout_rate=0.0,
-            name="proj_0",
+            dtype=self.compute_dtype, name="proj_0",
         )(y, train=train)
         y = ConvBNBlock(
-            x.shape[-1], 3, activation="none", dropout_rate=0.0, name="proj_1"
+            x.shape[-1], 3, activation="none", dropout_rate=0.0,
+            dtype=self.compute_dtype, name="proj_1",
         )(y, train=train)
-        y = y + x  # residual
+        y = y.astype(jnp.float32) + x  # residual
 
         if y.shape[-1] != self.highway_size:
             y = nn.Dense(self.highway_size, name="pre_highway")(y)

@@ -171,17 +171,27 @@ class Highway(nn.Module):
 
 
 class ConvBNBlock(nn.Module):
-    """Conv1d (SAME) + BatchNorm + activation + dropout, Taco2-style."""
+    """Conv1d (SAME) + BatchNorm + activation + dropout, Taco2-style.
+
+    ``dtype`` is the computation dtype: under mixed precision the conv (the
+    MXU-bound cost; f32 runs at half the bf16 matmul peak on TPU) and the
+    normalize/activation run in bf16 while parameters and the BatchNorm
+    statistics stay f32 (flax forces f32 stat reductions)."""
 
     channels: int
     kernel_size: int
     activation: str = "relu"  # 'relu' | 'tanh' | 'none'
     dropout_rate: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, T, C)
-        x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(
+            self.channels, (self.kernel_size,), padding="SAME", dtype=self.dtype
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
         if self.activation == "relu":
             x = nn.relu(x)
         elif self.activation == "tanh":

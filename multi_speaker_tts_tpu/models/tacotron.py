@@ -61,8 +61,10 @@ class TextEncoder(nn.Module):
                 self.conv_channels,
                 self.conv_kernel_size,
                 dropout_rate=self.conv_dropout,
+                dtype=self.compute_dtype,
                 name=f"conv_{i}",
             )(x, train=train)
+        x = x.astype(jnp.float32)
         return BiLSTM(self.lstm_size, compute_dtype=self.compute_dtype, name="bilstm")(x)
 
 
@@ -207,9 +209,19 @@ class Decoder(nn.Module):
                 cellp, pre_seq, keys, mem_f32, mask_f32,
                 self.compute_dtype, self.scan_unroll,
             )
-            # Hoisted projections on the stacked scan outputs (n_steps, B, X).
-            frames = jnp.dot(xs, frame_w[0]) + frame_w[1]
-            stops = (jnp.dot(xs, stop_w[0]) + stop_w[1])[..., 0]
+            # Hoisted projections on the stacked scan outputs (n_steps, B, X),
+            # in the compute dtype with f32 accumulation.
+            cd = self.compute_dtype
+            frames = jnp.dot(
+                xs.astype(cd), frame_w[0].astype(cd),
+                preferred_element_type=jnp.float32,
+            ) + frame_w[1]
+            stops = (
+                jnp.dot(
+                    xs.astype(cd), stop_w[0].astype(cd),
+                    preferred_element_type=jnp.float32,
+                ) + stop_w[1]
+            )[..., 0]
         else:
             assert max_steps is not None
             n_steps = max_steps // r
@@ -253,6 +265,7 @@ class Postnet(nn.Module):
     conv_channels: int = 512
     conv_kernel_size: int = 5
     dropout_rate: float = 0.5
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
@@ -263,6 +276,7 @@ class Postnet(nn.Module):
                 self.conv_kernel_size,
                 activation="tanh",
                 dropout_rate=self.dropout_rate,
+                dtype=self.compute_dtype,
                 name=f"conv_{i}",
             )(x, train=train)
         x = ConvBNBlock(
@@ -270,9 +284,10 @@ class Postnet(nn.Module):
             self.conv_kernel_size,
             activation="none",
             dropout_rate=self.dropout_rate,
+            dtype=self.compute_dtype,
             name=f"conv_{self.conv_stacks - 1}",
         )(x, train=train)
-        return x  # residual; caller adds
+        return x.astype(jnp.float32)  # residual; caller adds
 
 
 class LinearHead(nn.Module):
@@ -286,6 +301,7 @@ class LinearHead(nn.Module):
     conv_channels: int = 512
     conv_kernel_size: int = 5
     dropout_rate: float = 0.5
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
@@ -296,9 +312,11 @@ class LinearHead(nn.Module):
                 self.conv_kernel_size,
                 activation="relu",
                 dropout_rate=self.dropout_rate,
+                dtype=self.compute_dtype,
                 name=f"conv_{i}",
             )(x, train=train)
-        return nn.Dense(self.spect_dim, name="projection")(x)
+        x = nn.Dense(self.spect_dim, dtype=self.compute_dtype, name="projection")(x)
+        return x.astype(jnp.float32)
 
 
 class Tacotron(nn.Module):
@@ -392,16 +410,17 @@ class Tacotron(nn.Module):
             name="decoder",
         )
         self.mel_postnet = Postnet(
-            mel_dim=self.mel_dim, **self.postnet, name="postnet"
+            mel_dim=self.mel_dim, **self.postnet,
+            compute_dtype=self.compute_dtype, name="postnet"
         )
         if self.linear_head is not None:
             cfg = dict(self.linear_head)
+            cfg["compute_dtype"] = self.compute_dtype
             head_cls = LinearHead
             if cfg.pop("type", "Conv") == "CBHG":
                 from multi_speaker_tts_tpu.models.cbhg import CBHGHead
 
                 head_cls = CBHGHead
-                cfg["compute_dtype"] = self.compute_dtype
             self.spect_head = head_cls(
                 spect_dim=self.spect_dim, **cfg, name="linear_head"
             )

@@ -227,14 +227,27 @@ def _tf_scan_fwd(p, pre_seq, keys, memory, mask, compute_dtype, unroll,
     carry0 = initial_carry(B, memory, n, p.lstm[0].hidden_size)
     fused = _fused_weights(p, compute_dtype)
 
+    cd = compute_dtype
+
     def step(carry, pre_t):
         new_carry, out, gates = decoder_cell_step(
             p, carry, pre_t, keys, memory, mask, compute_dtype,
             with_residuals=True, fused=fused,
         )
-        # Residuals: gates (per layer), h, c, context of this step.
-        return new_carry, (out, gates, new_carry.h, new_carry.c,
-                           new_carry.context)
+        # Residuals: gates (per layer), h, c, context of this step — stored
+        # in the COMPUTE dtype. In bf16 mode the stacked f32 buffers would
+        # cost ~2.5 GB of HBM store+load per train step (T=400, B=64,
+        # H=1024) plus an f32->bf16 cast pass before the deferred dW GEMMs,
+        # which consume them in the compute dtype anyway. The (tiny,
+        # per-step) values the backward needs at f32 — cell-vjp operands —
+        # are upcast per step in the backward loop instead.
+        return new_carry, (
+            out,
+            tuple(g.astype(cd) for g in gates),
+            tuple(h.astype(cd) for h in new_carry.h),
+            tuple(c.astype(cd) for c in new_carry.c),
+            new_carry.context.astype(cd),
+        )
 
     _, (out, g_seq, h_seq, c_seq, ctx_seq) = jax.lax.scan(
         step, carry0, pre_seq, unroll=unroll
@@ -264,9 +277,15 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
 
     carry0 = initial_carry(B, memory, n, H)
     # Previous-step state sequences (value the step READ, not produced).
-    h_prev_seq = tuple(_shift_right(h_seq[i], carry0.h[i]) for i in range(n))
-    c_prev_seq = tuple(_shift_right(c_seq[i], carry0.c[i]) for i in range(n))
-    ctx_prev_seq = _shift_right(ctx_seq, carry0.context)
+    # Residual sequences are stored in the compute dtype (see _tf_scan_fwd);
+    # the zero-state inits are cast to match.
+    h_prev_seq = tuple(
+        _shift_right(h_seq[i], carry0.h[i].astype(cd)) for i in range(n)
+    )
+    c_prev_seq = tuple(
+        _shift_right(c_seq[i], carry0.c[i].astype(cd)) for i in range(n)
+    )
+    ctx_prev_seq = _shift_right(ctx_seq, carry0.context.astype(cd))
     w_prev_seq = _shift_right(w_seq, carry0.weights)
     # cum_prev at step t = w_init + sum_{tau < t} w_tau.
     cum_prev_seq = carry0.cum_weights[None] + jnp.cumsum(w_seq, axis=0) - w_seq
@@ -289,9 +308,16 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
         dctx = d_x[:, H:] + dctx_c
 
         dgates = [None] * n
-        # Decoder RNN stack, reverse order.
+        # Decoder RNN stack, reverse order. Cell-vjp operands are upcast to
+        # f32 per step (tiny, VMEM-local) so the nonlinearity derivatives
+        # and the carried state-gradient chain stay full precision even
+        # when the stored residuals are bf16.
         for i in range(n - 1, 0, -1):
-            _, cell_vjp = jax.vjp(_cell_from_gates, gates[i], c_prev[i])
+            _, cell_vjp = jax.vjp(
+                _cell_from_gates,
+                gates[i].astype(jnp.float32),
+                c_prev[i].astype(jnp.float32),
+            )
             dg, dc_prev_i = cell_vjp((dh[i], dc[i]))
             dgates[i] = dg
             dcat = jnp.dot(
@@ -319,7 +345,11 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
         dap_acc = jax.tree.map(jnp.add, dap_acc, dap)
 
         # Attention RNN (layer 0).
-        _, cell0_vjp = jax.vjp(_cell_from_gates, gates[0], c_prev[0])
+        _, cell0_vjp = jax.vjp(
+            _cell_from_gates,
+            gates[0].astype(jnp.float32),
+            c_prev[0].astype(jnp.float32),
+        )
         dg0, dc_prev_0 = cell0_vjp((dh[0], dc[0]))
         dgates[0] = dg0
         dcat0 = jnp.dot(
@@ -375,7 +405,7 @@ def _tf_scan_bwd(compute_dtype, unroll, bwd_unroll, res, cts):
     for i in range(n):
         dGi = dG[i].reshape(TB, 4 * H)  # already compute dtype
         if i == 0:
-            xin = jnp.concatenate([pre_seq, ctx_prev_seq], axis=-1)
+            xin = jnp.concatenate([pre_seq.astype(cd), ctx_prev_seq], axis=-1)
         else:
             xin = jnp.concatenate([h_seq[i - 1], ctx_seq], axis=-1)
         din = xin.shape[-1]

@@ -269,7 +269,15 @@ def _wavefront_fwd(layers, x, compute_dtype, unroll):
         new_carry, (h_out, gates) = _wavefront_step(
             w, b, layer_idx, T, compute_dtype, carry, inp
         )
-        return new_carry, (h_out, gates, new_carry[0], new_carry[1])
+        # Residuals stored in the compute dtype: the backward's dW
+        # contraction consumes them in that dtype anyway, and f32 stacked
+        # buffers would double the residual HBM traffic in bf16 mode. The
+        # cell-vjp operands are upcast per step in the backward.
+        cd = compute_dtype
+        return new_carry, (
+            h_out, gates.astype(cd),
+            new_carry[0].astype(cd), new_carry[1].astype(cd),
+        )
 
     zeros = jnp.zeros((L, B, H), jnp.float32)
     (h, _), (ys, g_seq, h_seq, c_seq) = jax.lax.scan(
@@ -296,8 +304,9 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
     w, _ = _wavefront_weights(layers, H, D, cd)
     w_T = jnp.swapaxes(w, 1, 2)  # (L, 4H, 2H)
 
-    # State the step READ (post-step state of s-1; zeros at s=0).
-    zeros = jnp.zeros((1, L, B, H), jnp.float32)
+    # State the step READ (post-step state of s-1; zeros at s=0). Residual
+    # sequences arrive in the compute dtype (see _wavefront_fwd).
+    zeros = jnp.zeros((1, L, B, H), h_seq.dtype)
     h_prev_seq = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
     c_prev_seq = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
     # Output cotangents per wavefront step: ys[L-1 + t] carries d_ys[:, t].
@@ -322,7 +331,10 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
         dc_new = jnp.where(valid, dc, 0.0)
         dh_pass = jnp.where(valid, 0.0, dh)
         dc_pass = jnp.where(valid, 0.0, dc)
-        _, cell_vjp = jax.vjp(cell_from_gates, gates, c_prev)
+        _, cell_vjp = jax.vjp(
+            cell_from_gates,
+            gates.astype(jnp.float32), c_prev.astype(jnp.float32),
+        )
         dgates, dc_prev = cell_vjp((dh_new, dc_new))
         dg_cd = dgates.astype(cd)
         dlhs = jax.lax.dot_general(
@@ -351,7 +363,7 @@ def _wavefront_bwd(compute_dtype, unroll, res, cts):
 
     # Deferred weight grads: lhs_s = [ [x_s | h_prev[:-1]] , h_prev ].
     first_half = jnp.concatenate(
-        [xs[:, None], h_prev_seq[:, :-1]], axis=1
+        [xs[:, None].astype(h_prev_seq.dtype), h_prev_seq[:, :-1]], axis=1
     )  # (S, L, B, H)
     lhs_seq = jnp.concatenate([first_half, h_prev_seq], axis=-1)  # (S, L, B, 2H)
     dW = jax.lax.dot_general(

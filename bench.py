@@ -102,7 +102,11 @@ def main() -> None:
     cfg = dsp.DSPConfig.from_hp(hp)
     models = trainer_lib.build_models(hp)
 
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    # Measured batch sweep on v5e (constant workload, this round): B=16
+    # 3,080x / B=32 4,025x / B=64 4,563x / B=128 4,604x real-time. B=64 is
+    # the knee - AR decode at small batch pays the same per-step latency
+    # for 4x less audio; past 64 the matmuls saturate.
+    BATCH = int(os.environ.get("BENCH_BATCH", "64"))
     MAX_STEPS = int(os.environ.get("BENCH_FRAMES", "400"))
     S = 64
 
@@ -227,6 +231,10 @@ def main() -> None:
 def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""
     hp = default_hparams()
+    if os.environ.get("BENCH_SCAN_UNROLL"):  # sweep knob
+        hp = hp.replace(
+            Decoder={"Scan_Unroll": int(os.environ["BENCH_SCAN_UNROLL"])}
+        )
     models = trainer_lib.build_models(hp)
     # B=64 is the measured throughput sweet spot on v5e (B=32: ~130k, B=64:
     # 295k, B=96: 297k, B=128: 288k frames/s with the custom-VJP scans):

@@ -96,15 +96,25 @@ def _gl_kernel(
     cdtype = wr_ref.dtype
 
     def istft_rows(re, im):
-        """(re, im) -> OLA'd signal rows (rows_pad, hop)."""
-        tf = jnp.dot(
-            re.astype(cdtype), vr_ref[:, :], preferred_element_type=jnp.float32
-        ) + jnp.dot(
-            im.astype(cdtype), vi_ref[:, :], preferred_element_type=jnp.float32
-        )  # (T, n_fft), synthesis-windowed
+        """(re, im) -> OLA'd signal rows (rows_pad, hop).
+
+        The synthesis transform is computed one (T, hop) column block at a
+        time instead of materializing the full (T, n_fft) frame buffer:
+        same FLOPs (the IDFT GEMM is simply split along its output lanes),
+        but ~T*n_fft*4 bytes less scoped-VMEM stack - the difference
+        between fitting and not fitting long decodes (T=1000) under the
+        16 MB scoped limit."""
+        rec = re.astype(cdtype)
+        imc = im.astype(cdtype)
         acc = jnp.zeros((rows_pad, hop), jnp.float32)
         for i in range(k):
-            block = tf[:, i * hop : (i + 1) * hop]  # (T, hop), lane-aligned
+            block = jnp.dot(
+                rec, vr_ref[:, i * hop : (i + 1) * hop],
+                preferred_element_type=jnp.float32,
+            ) + jnp.dot(
+                imc, vi_ref[:, i * hop : (i + 1) * hop],
+                preferred_element_type=jnp.float32,
+            )  # (T, hop), synthesis-windowed, lane-aligned
             padded = jnp.pad(block, ((0, rows_pad - T), (0, 0)))
             acc = acc + pltpu.roll(padded, i, 0)
         return acc * wsum_ref[:, :]

@@ -125,6 +125,24 @@ def stft_magnitude_matmul(
     return jnp.sqrt(re * re + im * im + 1e-12)
 
 
+def _pallas_gl_max_batch(T: int, n_fft: int, hop: int) -> int:
+    """Largest per-call batch for which the Pallas Griffin-Lim kernel fits
+    Mosaic's 16 MB scoped-VMEM stack limit.
+
+    Calibrated against the compiler's own OOM reports (n_fft=1024,
+    hop=256, Fp=640): scoped demand ~= a(T) + 0.031 MB x batch with
+    a(1000) = 14.9 MB — (B=16, T=1000) compiles, (B=64, T=1000) reports
+    16.88 MB, (B=128, T=1000) reports 18.84 MB. a(T) is the kernel's
+    (T, Fp)-proportional live set (spectra carries + casts + OLA rows), so
+    it is scaled by T*Fp relative to the calibration point; the batch term
+    is Mosaic's per-grid-step bookkeeping. ``griffin_lim_auto`` chunks
+    oversized batches to this size instead of failing to compile."""
+    F = n_fft // 2 + 1
+    Fp = ((F + 127) // 128) * 128
+    base_mb = 14.92 * (T * Fp) / (1000.0 * 640.0)
+    return int((16.0 - 0.5 - base_mb) / 0.0306)
+
+
 def griffin_lim_auto(
     magnitude: jax.Array,  # (..., T, F)
     n_fft: int,
@@ -134,21 +152,51 @@ def griffin_lim_auto(
     precision: str = "highest",
 ) -> jax.Array:
     """Best available Griffin-Lim: the VMEM-resident Pallas kernel when
-    eligible (TPU, hop % 128 == 0, even n_fft/hop, batched, default length),
-    else the GEMM XLA path. ~5.8x apart on a v5e."""
+    eligible (TPU, hop % 128 == 0, even n_fft/hop, batched, default
+    length), else the GEMM XLA path — ~5.8x apart on a v5e. Long decodes
+    whose working set would blow the scoped-VMEM stack limit run the
+    kernel over sequential batch chunks (one compiled program via
+    ``lax.map``) rather than losing it entirely."""
     k = n_fft // hop
+    B, T = magnitude.shape[0], magnitude.shape[-2]
     eligible = (
         magnitude.ndim == 3
         and n_fft % hop == 0
         and k % 2 == 0
         and hop % 128 == 0
-        and length == hop * (magnitude.shape[-2] - 1)
+        and length == hop * (T - 1)
         and jax.default_backend() == "tpu"
     )
     if eligible:
-        from multi_speaker_tts_tpu.ops.griffin_lim_kernel import griffin_lim_pallas
+        max_b = _pallas_gl_max_batch(T, n_fft, hop)
+        # Largest divisor of B within the per-call limit (keeps every
+        # chunk an identical program: one compile).
+        chunk = next((c for c in range(min(B, max_b), 0, -1) if B % c == 0), 0)
+        if chunk >= min(B, 8):
+            from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
+            from multi_speaker_tts_tpu.ops.griffin_lim_kernel import (
+                griffin_lim_pallas,
+            )
 
-        return griffin_lim_pallas(magnitude, n_fft, hop, n_iter)
+            if chunk == B:
+                _log_dispatch("griffin_lim", "pallas",
+                              f"VMEM-resident kernel, T={T}")
+                return griffin_lim_pallas(magnitude, n_fft, hop, n_iter)
+            _log_dispatch(
+                "griffin_lim", "pallas_chunked",
+                f"T={T}: scoped-VMEM cap {max_b} rows/call, "
+                f"{B // chunk} chunks of {chunk}",
+            )
+            out = jax.lax.map(
+                lambda m: griffin_lim_pallas(m, n_fft, hop, n_iter),
+                magnitude.reshape(B // chunk, chunk, T, magnitude.shape[-1]),
+            )
+            return out.reshape(B, -1)
+    if jax.default_backend() == "tpu":
+        from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
+
+        _log_dispatch("griffin_lim", "gemm",
+                      f"T={T}, hop={hop}, ndim={magnitude.ndim}")
     return griffin_lim_matmul(magnitude, n_fft, hop, n_iter, length, precision)
 
 

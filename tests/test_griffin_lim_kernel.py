@@ -73,3 +73,30 @@ def test_gl_kernel_bf16_quality(mag, hp):
 def test_gl_kernel_rejects_odd_ratio():
     with pytest.raises(AssertionError, match="even"):
         griffin_lim_pallas(jnp.zeros((1, 8, 97)), 192, 64, 2)
+
+
+def test_chunked_batch_matches_full():
+    """lax.map-chunked kernel calls (the scoped-VMEM fallback for long
+    decodes in griffin_lim_auto) produce exactly the full-batch result."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n_fft, hop, T, B = 512, 128, 17, 8
+    F = n_fft // 2 + 1
+    mag = jnp.asarray(rng.uniform(0.0, 1.0, size=(B, T, F)), jnp.float32)
+    full = griffin_lim_pallas(mag, n_fft, hop, 4, interpret=True)
+    chunked = jax.lax.map(
+        lambda m: griffin_lim_pallas(m, n_fft, hop, 4, interpret=True),
+        mag.reshape(2, B // 2, T, F),
+    ).reshape(B, -1)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+def test_pallas_gl_batch_cap_calibration():
+    from multi_speaker_tts_tpu.ops.stft_matmul import _pallas_gl_max_batch
+
+    # Observed compiler behavior (v5e, n_fft=1024, hop=256): B=16 fits at
+    # T=1000, B=64 does not; short decodes allow large batches.
+    assert _pallas_gl_max_batch(1000, 1024, 256) >= 16
+    assert _pallas_gl_max_batch(1000, 1024, 256) < 64
+    assert _pallas_gl_max_batch(401, 1024, 256) >= 128

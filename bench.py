@@ -235,6 +235,10 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
         hp = hp.replace(
             Decoder={"Scan_Unroll": int(os.environ["BENCH_SCAN_UNROLL"])}
         )
+    if os.environ.get("BENCH_BWD_UNROLL"):  # backward-scan sweep knob
+        hp = hp.replace(
+            Decoder={"Backward_Unroll": int(os.environ["BENCH_BWD_UNROLL"])}
+        )
     models = trainer_lib.build_models(hp)
     # B=64 is the measured throughput sweet spot on v5e (B=32: ~130k, B=64:
     # 295k, B=96: 297k, B=128: 288k frames/s with the custom-VJP scans):

@@ -137,6 +137,7 @@ class Decoder(nn.Module):
     lstm_stacks: int
     n_frames_per_step: int
     scan_unroll: int = 1  # unroll factor for the teacher-forced frame scan
+    bwd_unroll: int = 0  # backward-scan unroll (0 = same as scan_unroll)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,6 +209,7 @@ class Decoder(nn.Module):
             xs, aligns = dscan.decoder_tf_scan(
                 cellp, pre_seq, keys, mem_f32, mask_f32,
                 self.compute_dtype, self.scan_unroll,
+                self.bwd_unroll or None,
             )
             # Hoisted projections on the stacked scan outputs (n_steps, B, X),
             # in the compute dtype with f32 accumulation.
@@ -384,6 +386,7 @@ class Tacotron(nn.Module):
                 lstm_stacks=hp.Decoder.LSTM.Stacks,
                 n_frames_per_step=hp.Decoder.get("N_Frames_Per_Step", 1),
                 scan_unroll=hp.Decoder.get("Scan_Unroll", 1),
+                bwd_unroll=hp.Decoder.get("Backward_Unroll", 0),
             ),
             postnet=dict(
                 conv_stacks=hp.Postnet.Conv.Stacks,

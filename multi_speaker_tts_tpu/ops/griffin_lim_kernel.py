@@ -44,26 +44,44 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _gl_operands(n_fft: int, hop: int, dtype_str: str):
-    """Windowed DFT/IDFT matrices, lane-padded, plus metadata."""
+    """Windowed DFT/IDFT matrices for bins 0..n_fft/2-1, lane-padded, plus
+    the Nyquist bin's analysis/synthesis vectors in (k, hop) row layout.
+
+    The Nyquist bin (f = n_fft/2) of a real signal is itself real: its
+    sin column in both transforms is identically zero. Folding it OUT of
+    the GEMMs drops the padded lane count from round_up(F, 128) to
+    n_fft/2 (640 -> 512 at n_fft=1024) - 20% fewer MXU flops for exactly
+    the same math - and the bin is carried as a cheap rank-1 VPU term
+    (cos(pi n) = (-1)^n), in f32."""
     dtype = np.dtype(dtype_str)
     F = n_fft // 2 + 1
-    Fp = _round_up(F, LANE)
+    Fm = F - 1  # main GEMM bins 0..Fm-1; Nyquist folded out
+    Fp = _round_up(Fm, LANE)
     win = _hann(n_fft).astype(np.float64)
     Wr, Wi = _dft_matrices(n_fft)
     Vr, Vi = _idft_matrices(n_fft)
     Wr_p = np.zeros((n_fft, Fp), np.float64)
     Wi_p = np.zeros((n_fft, Fp), np.float64)
-    Wr_p[:, :F] = win[:, None] * Wr
-    Wi_p[:, :F] = win[:, None] * Wi
+    Wr_p[:, :Fm] = win[:, None] * Wr[:, :Fm]
+    Wi_p[:, :Fm] = win[:, None] * Wi[:, :Fm]
     Vr_p = np.zeros((Fp, n_fft), np.float64)
     Vi_p = np.zeros((Fp, n_fft), np.float64)
-    Vr_p[:F] = Vr * win[None, :]  # synthesis window folded in
-    Vi_p[:F] = Vi * win[None, :]
+    Vr_p[:Fm] = Vr[:Fm] * win[None, :]  # synthesis window folded in
+    Vi_p[:Fm] = Vi[:Fm] * win[None, :]
+    k = n_fft // hop
+    sign = (-1.0) ** np.arange(n_fft)  # cos(pi n), exact
+    rows8 = _round_up(k, 8)
+    wny = np.zeros((rows8, hop), np.float64)  # analysis: re_ny = sum rows*wny
+    vny = np.zeros((rows8, hop), np.float64)  # synthesis: weight 1, cos/N
+    wny[:k] = (win * sign).reshape(k, hop)
+    vny[:k] = (sign * win / n_fft).reshape(k, hop)
     return (
         Wr_p.astype(dtype),
         Wi_p.astype(dtype),
         Vr_p.astype(dtype),
         Vi_p.astype(dtype),
+        wny.astype(np.float32),
+        vny.astype(np.float32),
         Fp,
     )
 
@@ -79,9 +97,11 @@ def _wsum_rows(n_fft: int, hop: int, T: int, rows_pad: int) -> np.ndarray:
 
 
 def _gl_kernel(
-    mag_ref,  # (1, T, Fp) magnitude, VMEM
+    mag_ref,  # (1, T, Fp) magnitude bins 0..Fp-1, VMEM
+    ny_ref,  # (1, T, LANE) Nyquist-bin magnitude in lane 0, VMEM
     wr_ref, wi_ref,  # (n_fft, Fp) analysis (windowed) DFT
     vr_ref, vi_ref,  # (Fp, n_fft) synthesis (windowed, 1/N) inverse DFT
+    wny_ref, vny_ref,  # (rows8, hop) Nyquist analysis/synthesis vectors
     wsum_ref,  # (rows_pad, hop) OLA normalizer
     out_ref,  # (1, T - 1, hop) waveform rows, VMEM
     *,
@@ -93,9 +113,10 @@ def _gl_kernel(
 ):
     k = n_fft // hop
     mag = mag_ref[0, :, :]  # (T, Fp)
+    mag_ny = ny_ref[0, :, :1]  # (T, 1)
     cdtype = wr_ref.dtype
 
-    def istft_rows(re, im):
+    def istft_rows(re, im, rny):
         """(re, im) -> OLA'd signal rows (rows_pad, hop).
 
         The synthesis transform is computed one (T, hop) column block at a
@@ -115,14 +136,16 @@ def _gl_kernel(
                 imc, vi_ref[:, i * hop : (i + 1) * hop],
                 preferred_element_type=jnp.float32,
             )  # (T, hop), synthesis-windowed, lane-aligned
+            block = block + rny * vny_ref[i : i + 1, :]  # Nyquist rank-1 term
             padded = jnp.pad(block, ((0, rows_pad - T), (0, 0)))
             acc = acc + pltpu.roll(padded, i, 0)
         return acc * wsum_ref[:, :]
 
     def stft_of(rows):
-        """Signal rows -> (re, im), analysis-windowed DFT."""
+        """Signal rows -> (re, im, re_nyquist), analysis-windowed DFT."""
         re = jnp.zeros((T, wr_ref.shape[1]), jnp.float32)
         im = jnp.zeros((T, wr_ref.shape[1]), jnp.float32)
+        rny = jnp.zeros((T, 1), jnp.float32)
         for i in range(k):
             # rows[i : i + T] via a non-negative circular shift (pltpu.roll
             # rejects negative shifts): roll by rows_pad - i.
@@ -137,17 +160,23 @@ def _gl_kernel(
                 wi_ref[i * hop : (i + 1) * hop, :],
                 preferred_element_type=jnp.float32,
             )
-        return re, im
+            rny = rny + jnp.sum(
+                rows_i * wny_ref[i : i + 1, :], axis=-1, keepdims=True
+            )
+        return re, im, rny
 
     def body(_, carry):
-        re, im = carry
-        rows = istft_rows(re, im)
-        re2, im2 = stft_of(rows)
+        re, im, rny = carry
+        rows = istft_rows(re, im, rny)
+        re2, im2, rny2 = stft_of(rows)
         scale = mag / jnp.maximum(jnp.sqrt(re2 * re2 + im2 * im2 + 1e-12), 1e-11)
-        return re2 * scale, im2 * scale
+        sny = mag_ny / jnp.maximum(jnp.sqrt(rny2 * rny2 + 1e-12), 1e-11)
+        return re2 * scale, im2 * scale, rny2 * sny
 
-    re, im = jax.lax.fori_loop(0, n_iter, body, (mag, jnp.zeros_like(mag)))
-    rows = istft_rows(re, im)
+    re, im, rny = jax.lax.fori_loop(
+        0, n_iter, body, (mag, jnp.zeros_like(mag), mag_ny)
+    )
+    rows = istft_rows(re, im, rny)
     # Centered crop: skip n_fft/2 = (k/2)*hop samples -> k/2 rows.
     out_ref[0, :, :] = pltpu.roll(rows, rows_pad - k // 2, 0)[: T - 1, :]
 
@@ -176,9 +205,12 @@ def griffin_lim_pallas(
     if not interpret:
         assert hop % 128 == 0, f"compiled kernel requires hop % 128 == 0, got {hop}"
 
-    Wr, Wi, Vr, Vi, Fp = _gl_operands(n_fft, hop, compute_dtype)
-    mag_p = jnp.pad(magnitude.astype(jnp.float32), ((0, 0), (0, 0), (0, Fp - F)))
+    Wr, Wi, Vr, Vi, wny, vny, Fp = _gl_operands(n_fft, hop, compute_dtype)
+    mag_f = magnitude.astype(jnp.float32)
+    mag_p = jnp.pad(mag_f[..., : F - 1], ((0, 0), (0, 0), (0, Fp - (F - 1))))
+    ny_p = jnp.pad(mag_f[..., F - 1 :], ((0, 0), (0, 0), (0, LANE - 1)))
     rows_pad = _round_up(T + k - 1, 8)
+    rows8 = wny.shape[0]
     wsum = _wsum_rows(n_fft, hop, T, rows_pad)
 
     kernel = functools.partial(
@@ -190,10 +222,13 @@ def griffin_lim_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, Fp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, Fp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, Fp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((Fp, n_fft), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((Fp, n_fft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows8, hop), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows8, hop), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_pad, hop), const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -202,8 +237,9 @@ def griffin_lim_pallas(
         out_shape=jax.ShapeDtypeStruct((B, T - 1, hop), jnp.float32),
         interpret=interpret,
     )(
-        mag_p,
+        mag_p, ny_p,
         jnp.asarray(Wr), jnp.asarray(Wi), jnp.asarray(Vr), jnp.asarray(Vi),
+        jnp.asarray(wny), jnp.asarray(vny),
         jnp.asarray(wsum),
     )
     return out.reshape(B, (T - 1) * hop)

@@ -137,8 +137,10 @@ def _pallas_gl_max_batch(T: int, n_fft: int, hop: int) -> int:
     it is scaled by T*Fp relative to the calibration point; the batch term
     is Mosaic's per-grid-step bookkeeping. ``griffin_lim_auto`` chunks
     oversized batches to this size instead of failing to compile."""
-    F = n_fft // 2 + 1
-    Fp = ((F + 127) // 128) * 128
+    # Nyquist-folded kernel: round_up(n_fft/2, 128) main lanes plus one
+    # 128-lane block for the Nyquist carry - 640 lane-equivalents at
+    # n_fft=1024, the original calibration point.
+    Fp = ((n_fft // 2 + 127) // 128) * 128 + 128
     base_mb = 14.92 * (T * Fp) / (1000.0 * 640.0)
     return int((16.0 - 0.5 - base_mb) / 0.0306)
 
@@ -153,7 +155,9 @@ def griffin_lim_auto(
 ) -> jax.Array:
     """Best available Griffin-Lim: the VMEM-resident Pallas kernel when
     eligible (TPU, hop % 128 == 0, even n_fft/hop, batched, default
-    length), else the GEMM XLA path — ~5.8x apart on a v5e. Long decodes
+    length), else the GEMM XLA path — ~8x apart on a v5e (39.9 ms vs
+    333 ms at B=64, T=400, 60 iters; XLA's native FFT path is 1.26 s,
+    30x off, so GEMM is the honest fallback). Long decodes
     whose working set would blow the scoped-VMEM stack limit run the
     kernel over sequential batch chunks (one compiled program via
     ``lax.map``) rather than losing it entirely."""

@@ -70,6 +70,25 @@ def test_gl_kernel_bf16_quality(mag, hp):
     assert np.abs(got16 - got32).max() < 0.05 * scale
 
 
+def test_gl_kernel_reconstructs_nyquist_energy():
+    """The Nyquist bin is folded out of the DFT GEMMs and carried as a
+    rank-1 term; a magnitude with strong Nyquist content must still be
+    reconstructed (a regression that zeroed the bin would pass the other
+    tests, which use speech-like spectra with ~no energy there)."""
+    n_fft, hop, T = 256, 64, 33
+    F = n_fft // 2 + 1
+    mag = np.full((1, T, F), 1e-3, np.float32)
+    mag[..., -1] = 1.0  # all the energy in the Nyquist bin
+    y = np.asarray(
+        griffin_lim_pallas(jnp.asarray(mag), n_fft, hop, 8, compute_dtype="float32")
+    )[0]
+    rec = np.abs(oracle.stft(y, n_fft, hop))[: T - 2]
+    # Interior frames recover most of the Nyquist magnitude...
+    assert rec[2:, -1].mean() > 0.5, rec[2:, -1].mean()
+    # ...and it dominates every other bin, as in the target.
+    assert rec[2:, -1].mean() > 10 * rec[2:, :-1].mean()
+
+
 def test_gl_kernel_rejects_odd_ratio():
     with pytest.raises(AssertionError, match="even"):
         griffin_lim_pallas(jnp.zeros((1, 8, 97)), 192, 64, 2)

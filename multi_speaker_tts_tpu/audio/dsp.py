@@ -44,6 +44,10 @@ class DSPConfig:
     ref_level_db: float
     power: float
     griffin_lim_iter: int
+    # Accelerated ("fast") Griffin-Lim momentum (Perraudin et al. 2013);
+    # 0.0 = the reference's plain iteration. ~0.99 converges markedly
+    # tighter at the same iteration count.
+    griffin_lim_momentum: float = 0.0
 
     @classmethod
     def from_hp(cls, hp) -> "DSPConfig":
@@ -59,6 +63,7 @@ class DSPConfig:
             ref_level_db=float(hp.Sound.Ref_Level_DB),
             power=float(hp.Sound.Power),
             griffin_lim_iter=int(hp.Sound.Griffin_Lim_Iter),
+            griffin_lim_momentum=float(hp.Sound.get("Griffin_Lim_Momentum", 0.0)),
         )
 
     @functools.cached_property
@@ -248,16 +253,37 @@ def melspectrogram_auto(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
 
 
 def griffin_lim(
-    magnitude: jax.Array, n_fft: int, hop: int, n_iter: int, length: int
+    magnitude: jax.Array, n_fft: int, hop: int, n_iter: int, length: int,
+    momentum: float = 0.0,
 ) -> jax.Array:
     """Batched Griffin-Lim phase recovery: (..., T, F) magnitude -> (..., length).
 
     Runs the STFT<->ISTFT fixed-point iteration as a ``lax.fori_loop`` so the
     whole vocoder is one XLA program (SURVEY.md section 3.3 "VOCODE" stage,
     kept on-chip per BASELINE.json:5). Zero initial phase, matching the
-    oracle for testability.
+    oracle for testability. ``momentum`` > 0 runs the accelerated ("fast")
+    variant of Perraudin et al. 2013: the projected spectrum is extrapolated
+    against the previous projection before its phase is reused, which
+    converges markedly tighter at equal iteration count; 0 is the
+    reference's plain iteration.
     """
     mag = magnitude.astype(jnp.float32)
+
+    if momentum > 0.0:
+        beta = momentum / (1.0 + momentum)
+
+        def body_m(_, carry):
+            y, tprev = carry
+            D = stft(y, n_fft, hop)[..., : mag.shape[-2], :]
+            E = D - beta * tprev
+            phase = E / jnp.maximum(jnp.abs(E), 1e-11)
+            return istft(mag * phase, n_fft, hop, length), D
+
+        y0 = istft(mag.astype(jnp.complex64), n_fft, hop, length)
+        y, _ = jax.lax.fori_loop(
+            0, n_iter, body_m, (y0, jnp.zeros_like(mag, jnp.complex64))
+        )
+        return y
 
     def body(_, y):
         D = stft(y, n_fft, hop)
@@ -276,5 +302,8 @@ def inv_spectrogram(S_norm: jax.Array, cfg: DSPConfig, length: int | None = None
         length = cfg.hop * (S_norm.shape[-2] - 1)
     S_db = denormalize(S_norm, cfg.min_level_db)
     mag = db_to_amp(S_db + cfg.ref_level_db)
-    wav = griffin_lim(mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length)
+    wav = griffin_lim(
+        mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter, length,
+        momentum=cfg.griffin_lim_momentum,
+    )
     return inv_preemphasis(wav, cfg.preemphasis)

@@ -284,11 +284,13 @@ class Synthesizer:
                     wav = stft_matmul.griffin_lim_auto(
                         mag**cfg.power, cfg.n_fft, cfg.hop,
                         cfg.griffin_lim_iter, length,
+                        momentum=cfg.griffin_lim_momentum,
                     )
                 else:
                     wav = dsp.griffin_lim(
                         mag**cfg.power, cfg.n_fft, cfg.hop,
                         cfg.griffin_lim_iter, length,
+                        momentum=cfg.griffin_lim_momentum,
                     )
                 out["wav"] = dsp.inv_preemphasis(wav, cfg.preemphasis)
             return out

@@ -110,6 +110,7 @@ def _gl_kernel(
     hop: int,
     n_iter: int,
     rows_pad: int,
+    momentum: float,
 ):
     k = n_fft // hop
     mag = mag_ref[0, :, :]  # (T, Fp)
@@ -165,6 +166,31 @@ def _gl_kernel(
             )
         return re, im, rny
 
+    if momentum > 0.0:
+        # Accelerated ("fast") Griffin-Lim: extrapolate the projected
+        # spectrum against the previous projection (3 extra carries).
+        beta = momentum / (1.0 + momentum)
+
+        def body_m(_, carry):
+            re, im, rny, pre, pim, prny = carry
+            rows = istft_rows(re, im, rny)
+            re2, im2, rny2 = stft_of(rows)
+            ere, eim, erny = re2 - beta * pre, im2 - beta * pim, rny2 - beta * prny
+            scale = mag / jnp.maximum(
+                jnp.sqrt(ere * ere + eim * eim + 1e-12), 1e-11
+            )
+            sny = mag_ny / jnp.maximum(jnp.sqrt(erny * erny + 1e-12), 1e-11)
+            return ere * scale, eim * scale, erny * sny, re2, im2, rny2
+
+        zero = jnp.zeros_like(mag)
+        re, im, rny, _, _, _ = jax.lax.fori_loop(
+            0, n_iter, body_m,
+            (mag, zero, mag_ny, zero, zero, jnp.zeros_like(mag_ny)),
+        )
+        rows = istft_rows(re, im, rny)
+        out_ref[0, :, :] = pltpu.roll(rows, rows_pad - k // 2, 0)[: T - 1, :]
+        return
+
     def body(_, carry):
         re, im, rny = carry
         rows = istft_rows(re, im, rny)
@@ -188,11 +214,13 @@ def griffin_lim_pallas(
     n_iter: int,
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
+    momentum: float = 0.0,
 ) -> jax.Array:
     """Batched VMEM-resident Griffin-Lim: (B, T, F) -> (B, hop * (T - 1)).
 
     Same fixed-point iteration and zero-phase init as
     ``stft_matmul.griffin_lim_matmul``; quality-gated against it in tests.
+    ``momentum`` > 0 = the accelerated variant (see ``dsp.griffin_lim``).
     """
     assert n_fft % hop == 0
     k = n_fft // hop
@@ -214,7 +242,8 @@ def griffin_lim_pallas(
     wsum = _wsum_rows(n_fft, hop, T, rows_pad)
 
     kernel = functools.partial(
-        _gl_kernel, T=T, n_fft=n_fft, hop=hop, n_iter=n_iter, rows_pad=rows_pad
+        _gl_kernel, T=T, n_fft=n_fft, hop=hop, n_iter=n_iter,
+        rows_pad=rows_pad, momentum=momentum,
     )
     const = lambda b: (0, 0)  # noqa: E731
     out = pl.pallas_call(

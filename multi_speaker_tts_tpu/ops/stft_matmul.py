@@ -152,6 +152,7 @@ def griffin_lim_auto(
     n_iter: int,
     length: int,
     precision: str = "highest",
+    momentum: float = 0.0,
 ) -> jax.Array:
     """Best available Griffin-Lim: the VMEM-resident Pallas kernel when
     eligible (TPU, hop % 128 == 0, even n_fft/hop, batched, default
@@ -173,6 +174,10 @@ def griffin_lim_auto(
     )
     if eligible:
         max_b = _pallas_gl_max_batch(T, n_fft, hop)
+        if momentum > 0.0:
+            # The accelerated variant carries the previous projection too
+            # (3 extra (T, Fp)-class f32 live buffers in the kernel loop).
+            max_b = max(max_b // 2, 1)
         # Largest divisor of B within the per-call limit (keeps every
         # chunk an identical program: one compile).
         chunk = next((c for c in range(min(B, max_b), 0, -1) if B % c == 0), 0)
@@ -185,14 +190,18 @@ def griffin_lim_auto(
             if chunk == B:
                 _log_dispatch("griffin_lim", "pallas",
                               f"VMEM-resident kernel, T={T}")
-                return griffin_lim_pallas(magnitude, n_fft, hop, n_iter)
+                return griffin_lim_pallas(
+                    magnitude, n_fft, hop, n_iter, momentum=momentum
+                )
             _log_dispatch(
                 "griffin_lim", "pallas_chunked",
                 f"T={T}: scoped-VMEM cap {max_b} rows/call, "
                 f"{B // chunk} chunks of {chunk}",
             )
             out = jax.lax.map(
-                lambda m: griffin_lim_pallas(m, n_fft, hop, n_iter),
+                lambda m: griffin_lim_pallas(
+                    m, n_fft, hop, n_iter, momentum=momentum
+                ),
                 magnitude.reshape(B // chunk, chunk, T, magnitude.shape[-1]),
             )
             return out.reshape(B, -1)
@@ -201,7 +210,9 @@ def griffin_lim_auto(
 
         _log_dispatch("griffin_lim", "gemm",
                       f"T={T}, hop={hop}, ndim={magnitude.ndim}")
-    return griffin_lim_matmul(magnitude, n_fft, hop, n_iter, length, precision)
+    return griffin_lim_matmul(
+        magnitude, n_fft, hop, n_iter, length, precision, momentum
+    )
 
 
 def griffin_lim_matmul(
@@ -211,12 +222,14 @@ def griffin_lim_matmul(
     n_iter: int,
     length: int,
     precision: str = "highest",
+    momentum: float = 0.0,
 ) -> jax.Array:
     """Batched Griffin-Lim with every transform as an MXU matmul.
 
     Same fixed-point iteration as ``dsp.griffin_lim`` (zero initial phase),
     but STFT/ISTFT are windowed-DFT GEMMs and framing/OLA are shifted views:
     the entire vocoder is matmul + elementwise, no FFT, no scatter.
+    ``momentum`` > 0 = the accelerated variant (see ``dsp.griffin_lim``).
     """
     prec = _PRECISIONS[precision]
     mag = magnitude.astype(jnp.float32)
@@ -235,10 +248,28 @@ def griffin_lim_matmul(
         im = jnp.dot(frames, Wi, precision=prec)
         return re, im
 
+    y0 = istft_from(mag, jnp.zeros_like(mag))  # zero phase
+
+    if momentum > 0.0:
+        beta = momentum / (1.0 + momentum)
+
+        def body_m(_, carry):
+            y, pre, pim = carry
+            re, im = stft_of(y)
+            ere, eim = re - beta * pre, im - beta * pim
+            scale = mag / jnp.maximum(
+                jnp.sqrt(ere * ere + eim * eim + 1e-12), 1e-11
+            )
+            return istft_from(ere * scale, eim * scale), re, im
+
+        y, _, _ = jax.lax.fori_loop(
+            0, n_iter, body_m, (y0, jnp.zeros_like(mag), jnp.zeros_like(mag))
+        )
+        return y
+
     def body(_, y):
         re, im = stft_of(y)
         scale = mag / jnp.maximum(jnp.sqrt(re * re + im * im + 1e-12), 1e-11)
         return istft_from(re * scale, im * scale)
 
-    y0 = istft_from(mag, jnp.zeros_like(mag))  # zero phase
     return jax.lax.fori_loop(0, n_iter, body, y0)

@@ -185,6 +185,7 @@ class Synthesizer:
         sharded: bool = False,
         speaker_ids=None,  # alternative to speaker_embedding for LUT models
         early_exit: bool = True,
+        pad_batch: bool = True,
     ) -> list[dict]:
         """Texts -> list of {wav, mel, linear, alignment, mel_length}.
 
@@ -192,17 +193,30 @@ class Synthesizer:
         longest text (Decoder.Max_Frames_Per_Token frames per token, default
         12), so short utterances don't pay for Max_Step; combined with the
         decoder's stop-aware early exit, wall time tracks speech length.
-        Compiled programs are cached per (bucket, batch, token) shape."""
+        Compiled programs are cached per (bucket, batch, token) shape.
+        ``pad_batch`` (default) additionally rounds the batch up to a pow2
+        bucket (a multiple of the mesh size when sharded) with PAD rows that
+        are sliced off the outputs: remote-TPU compiles take minutes, so
+        serving every distinct request size from a handful of programs beats
+        the padded rows' microseconds of compute. Every op in the pipeline
+        is row-independent (BN runs on eval stats), so padding cannot change
+        the real rows."""
         hp = self.hp
         sequences = [text_frontend.encode_text(t, hp) for t in texts]
         B = len(sequences)
+        Bp = B
+        if pad_batch:
+            Bp = 1 << max(0, (B - 1).bit_length())  # next pow2 >= B
+            if sharded and self.mesh is not None:
+                Bp = _round_up(Bp, self.mesh.devices.size)
         if max_steps is None:
             per_token = int(hp.Decoder.get("Max_Frames_Per_Token", 12))
             est = max(len(s) for s in sequences) * per_token
             max_steps = _decode_bucket(est, hp.Decoder.Max_Step)
         S = _round_up(max(len(s) for s in sequences), 16)
-        tokens = np.full((B, S), PAD_ID, np.int32)
-        lengths = np.zeros((B,), np.int32)
+        tokens = np.full((Bp, S), PAD_ID, np.int32)
+        # Pad rows decode one token of padding; their outputs are discarded.
+        lengths = np.ones((Bp,), np.int32)
         for i, s in enumerate(sequences):
             tokens[i, : len(s)] = s
             lengths[i] = len(s)
@@ -215,9 +229,13 @@ class Synthesizer:
                 raise ValueError("model is speaker-conditioned: pass an embedding")
             spk = np.asarray(speaker_embedding, np.float32)
             if spk.ndim == 1:
-                spk = np.tile(spk[None], (B, 1))
+                spk = np.tile(spk[None], (Bp, 1))
+            elif spk.shape[0] < Bp:  # pad rows reuse the first embedding
+                spk = np.concatenate(
+                    [spk, np.tile(spk[:1], (Bp - spk.shape[0], 1))], axis=0
+                )
 
-        key = ("infer", S, B, max_steps, vocode, sharded, early_exit)
+        key = ("infer", S, Bp, max_steps, vocode, sharded, early_exit)
         if key not in self._infer_cache:
             self._infer_cache[key] = self._build_infer(
                 S, max_steps, vocode, sharded, early_exit

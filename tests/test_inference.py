@@ -86,6 +86,28 @@ def test_infer_cache_reuse(setup):
     assert len(synth._infer_cache) == n1 > n0
 
 
+def test_batch_pad_bucket_matches_unpadded(setup):
+    """pad_batch (default) rounds B up to a pow2 bucket with PAD rows; every
+    pipeline op is row-independent, so each real row must match the
+    unpadded program exactly, and B=3 / B=4 share one compiled program."""
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(3).normal(size=8000).astype(np.float32)])
+    texts = ["one", "two two", "three three three"]
+    n0 = len(synth._infer_cache)
+    padded = synth.synthesize(texts, spk, max_steps=16, vocode=False)
+    n1 = len(synth._infer_cache)
+    assert n1 == n0 + 1
+    plain = synth.synthesize(texts, spk, max_steps=16, vocode=False,
+                             pad_batch=False)
+    assert len(padded) == len(plain) == 3
+    for p, q in zip(padded, plain):
+        assert p["mel_length"] == q["mel_length"]
+        np.testing.assert_allclose(p["mel"], q["mel"], atol=1e-5)
+    # A fourth text reuses the B=4 bucket program: no new compile.
+    synth.synthesize(texts + ["four"], spk, max_steps=16, vocode=False)
+    assert len(synth._infer_cache) == n1 + 1  # only the pad_batch=False B=3
+
+
 def test_round_up():
     assert _round_up(1, 16) == 16
     assert _round_up(16, 16) == 16

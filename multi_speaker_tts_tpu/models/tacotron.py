@@ -148,6 +148,7 @@ class Decoder(nn.Module):
         teacher_mels: jax.Array | None = None,  # (B, T, mel) when teacher forcing
         max_steps: int | None = None,  # decode steps when AR
         stop_threshold: float | None = None,  # AR early exit when given
+        stopped_init: jax.Array | None = None,  # (B,) rows pre-stopped (PAD)
     ):
         """Returns (mel_pre (B, T, mel), stop_logits (B, T_dec),
         align (B, T_dec, S), lengths_steps (B,) or None).
@@ -243,7 +244,7 @@ class Decoder(nn.Module):
                 frames, stops, aligns, lengths_steps = dscan.decoder_ar_early_exit(
                     cellp, prenet_fn, project_fn, keys, mem_f32, mask_f32,
                     n_steps, stop_threshold, rng, self.mel_dim,
-                    self.compute_dtype,
+                    self.compute_dtype, stopped_init=stopped_init,
                 )
             else:
                 frames, stops, aligns = dscan.decoder_ar_scan(
@@ -474,16 +475,21 @@ class Tacotron(nn.Module):
         max_steps: int = 1000,
         stop_threshold: float = 0.5,
         early_exit: bool = True,
+        active_rows: jax.Array | None = None,
     ) -> dict[str, Any]:
         """AR decode to a static max length. ``early_exit=True`` (default)
         runs the stop-aware while_loop (BASELINE.json:5's static-shape
         contract holds - only the trip count is dynamic); ``False`` keeps
         the fixed-length scan with stop masking outside (the constant-
-        workload path benchmarks use)."""
+        workload path benchmarks use). ``active_rows`` ((B,) bool) marks
+        real rows of a padded serving batch; inactive (PAD) rows start
+        pre-stopped so they cannot pin the early-exit loop to the full
+        bucket length (their mel_length comes out 0)."""
         memory, mask = self._build_memory(tokens, token_lengths, speaker_embedding, False)
         mel_pre, stops, aligns, lengths_steps = self.frame_decoder(
             memory, mask, max_steps=max_steps,
             stop_threshold=stop_threshold if early_exit else None,
+            stopped_init=None if active_rows is None else ~active_rows.astype(bool),
         )
 
         r = self.decoder["n_frames_per_step"] if self.decoder else 1

@@ -481,11 +481,16 @@ def decoder_ar_early_exit(
     rng: jax.Array,
     mel_dim: int,
     compute_dtype=jnp.float32,
+    stopped_init: jax.Array | None = None,
 ):
     """AR decode as a while_loop exiting once EVERY utterance stopped.
 
     Static shapes (buffers allocated at n_steps); only the trip count is
-    dynamic, so serving latency tracks speech length. Returns
+    dynamic, so serving latency tracks speech length. ``stopped_init``
+    ((B,) bool) pre-stops rows that should not gate the exit - serving
+    passes the batch-bucket PAD rows here, whose garbage inputs may never
+    emit a stop token and would otherwise silently pin every padded batch
+    to the full bucket length. Pre-stopped rows decode length 0. Returns
     (frames, stops, aligns, lengths_steps)."""
     B, S = mask.shape
     carry0 = initial_carry(B, memory, len(p.lstm), p.lstm[0].hidden_size)
@@ -502,10 +507,14 @@ def decoder_ar_early_exit(
         jnp.full((n_steps, B), -1e4, jnp.float32),
         jnp.zeros((n_steps, B, S), jnp.float32),
     )
+    stopped0 = (
+        jnp.zeros((B,), bool) if stopped_init is None
+        else stopped_init.astype(bool)
+    )
     init = (
         carry0, prev0,
         jnp.zeros((), jnp.int32),  # t
-        jnp.zeros((B,), bool),  # stopped flags
+        stopped0,  # stopped flags (pre-stopped rows never gate the exit)
         jnp.zeros((B,), jnp.int32),  # decoded steps per utterance
         bufs,
     )

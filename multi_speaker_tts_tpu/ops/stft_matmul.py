@@ -125,7 +125,8 @@ def stft_magnitude_matmul(
     return jnp.sqrt(re * re + im * im + 1e-12)
 
 
-def _pallas_gl_max_batch(T: int, n_fft: int, hop: int) -> int:
+def _pallas_gl_max_batch(T: int, n_fft: int, hop: int,
+                         momentum: float = 0.0) -> int:
     """Largest per-call batch for which the Pallas Griffin-Lim kernel fits
     Mosaic's 16 MB scoped-VMEM stack limit.
 
@@ -136,13 +137,32 @@ def _pallas_gl_max_batch(T: int, n_fft: int, hop: int) -> int:
     (T, Fp)-proportional live set (spectra carries + casts + OLA rows), so
     it is scaled by T*Fp relative to the calibration point; the batch term
     is Mosaic's per-grid-step bookkeeping. ``griffin_lim_auto`` chunks
-    oversized batches to this size instead of failing to compile."""
+    oversized batches to this size instead of failing to compile.
+
+    ``momentum`` > 0 carries the previous projection too (3 extra
+    (T, Fp)-class f32 live buffers); that scales the T-proportional base
+    term - NOT the per-batch bookkeeping term - so it is modeled as a
+    factor on a(T) (~1.6x: base set is re/im/rny + scale temps ~5 live
+    (T, Fp) buffers, momentum adds 3)."""
     # Nyquist-folded kernel: round_up(n_fft/2, 128) main lanes plus one
     # 128-lane block for the Nyquist carry - 640 lane-equivalents at
     # n_fft=1024, the original calibration point.
     Fp = ((n_fft // 2 + 127) // 128) * 128 + 128
     base_mb = 14.92 * (T * Fp) / (1000.0 * 640.0)
+    if momentum > 0.0:
+        base_mb *= 1.6
     return int((16.0 - 0.5 - base_mb) / 0.0306)
+
+
+def _chunk_plan(B: int, max_b: int) -> tuple[int, int]:
+    """(n_chunks, chunk) splitting B rows into equal chunks of <= max_b.
+
+    chunk = ceil(B / n_chunks) minimizes the zero-padding when B is not a
+    multiple (e.g. B=61, max_b=18 -> 4 chunks of 16: 3 pad rows, vs. the
+    18-row naive chunking's 11)."""
+    n_chunks = -(-B // max_b)
+    chunk = -(-B // n_chunks)
+    return n_chunks, chunk
 
 
 def griffin_lim_auto(
@@ -173,38 +193,46 @@ def griffin_lim_auto(
         and jax.default_backend() == "tpu"
     )
     if eligible:
-        max_b = _pallas_gl_max_batch(T, n_fft, hop)
-        if momentum > 0.0:
-            # The accelerated variant carries the previous projection too
-            # (3 extra (T, Fp)-class f32 live buffers in the kernel loop).
-            max_b = max(max_b // 2, 1)
-        # Largest divisor of B within the per-call limit (keeps every
-        # chunk an identical program: one compile).
-        chunk = next((c for c in range(min(B, max_b), 0, -1) if B % c == 0), 0)
-        if chunk >= min(B, 8):
+        max_b = _pallas_gl_max_batch(T, n_fft, hop, momentum)
+        if max_b >= min(B, 8):
             from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
             from multi_speaker_tts_tpu.ops.griffin_lim_kernel import (
                 griffin_lim_pallas,
             )
 
-            if chunk == B:
+            if B <= max_b:
                 _log_dispatch("griffin_lim", "pallas",
                               f"VMEM-resident kernel, T={T}")
                 return griffin_lim_pallas(
                     magnitude, n_fft, hop, n_iter, momentum=momentum
                 )
+            # Oversized batch: run the kernel over equal sequential chunks
+            # via ONE compiled program (lax.map). The batch is zero-padded
+            # up to n_chunks * chunk (zero magnitude rows cost compute but
+            # keep the ~8x-faster kernel for awkward/prime batch sizes);
+            # chunk = ceil(B / n_chunks) minimizes the padding.
+            n_chunks, chunk = _chunk_plan(B, max_b)
+            Bp = n_chunks * chunk
             _log_dispatch(
                 "griffin_lim", "pallas_chunked",
                 f"T={T}: scoped-VMEM cap {max_b} rows/call, "
-                f"{B // chunk} chunks of {chunk}",
+                f"{n_chunks} chunks of {chunk}"
+                + (f" ({Bp - B} pad rows)" if Bp > B else ""),
             )
+            mag_p = magnitude
+            if Bp > B:
+                mag_p = jnp.concatenate(
+                    [magnitude,
+                     jnp.zeros((Bp - B, *magnitude.shape[1:]), magnitude.dtype)],
+                    axis=0,
+                )
             out = jax.lax.map(
                 lambda m: griffin_lim_pallas(
                     m, n_fft, hop, n_iter, momentum=momentum
                 ),
-                magnitude.reshape(B // chunk, chunk, T, magnitude.shape[-1]),
+                mag_p.reshape(n_chunks, chunk, T, magnitude.shape[-1]),
             )
-            return out.reshape(B, -1)
+            return out.reshape(Bp, -1)[:B]
     if jax.default_backend() == "tpu":
         from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
 

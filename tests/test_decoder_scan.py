@@ -92,6 +92,53 @@ def test_gradients_match_autodiff_bf16_compute():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2 * scale)
 
 
+def test_early_exit_pre_stopped_rows_do_not_pin_the_loop():
+    """A row that never emits a stop token (a serving PAD row) must not hold
+    the early-exit while_loop open when it is pre-stopped via stopped_init
+    (ADVICE r2 medium): the loop exits as soon as every REAL row stops, and
+    pre-stopped rows report length 0."""
+    p, pre_seq, keys, memory, mask = _setup(2)
+    B = memory.shape[0]  # 3
+    mel_dim = 4
+    x_dim = p.lstm[-1].hidden_size + memory.shape[-1]
+    wf = jax.random.normal(jax.random.PRNGKey(8), (x_dim, mel_dim)) * 0.1
+    P = pre_seq.shape[-1]
+
+    def prenet_fn(frame, rngkey):
+        del rngkey
+        return jnp.tile(frame[:, :1], (1, P)) + 0.1
+
+    # Row 0 stops immediately; rows 1..2 NEVER stop.
+    row_logit = jnp.where(jnp.arange(B) == 0, 10.0, -10.0)
+
+    def project_fn(x):
+        return jnp.dot(x, wf), row_logit + 0.0 * x[:, 0]
+
+    n_steps = 12
+    common = (p, prenet_fn, project_fn, keys, memory, mask, n_steps, 0.5,
+              jax.random.PRNGKey(0), mel_dim)
+
+    # Without pre-stopping, the non-stopping rows pin the loop to n_steps.
+    _, _, _, lengths = ds.decoder_ar_early_exit(*common)
+    assert int(lengths[1]) == n_steps and int(lengths[2]) == n_steps
+
+    # Pre-stopped "PAD" rows: loop exits with row 0 after one step.
+    stopped_init = jnp.asarray([False, True, True])
+    frames, stops, _, lengths = ds.decoder_ar_early_exit(
+        *common, stopped_init=stopped_init
+    )
+    assert int(lengths[0]) == 1
+    assert int(lengths[1]) == 0 and int(lengths[2]) == 0
+    # Steps the loop never ran keep the filler (-1e4) stop logits.
+    assert float(stops[1, 0]) <= -1e3
+
+    # All rows pre-stopped: zero trip count, nothing decoded.
+    _, _, _, lengths = ds.decoder_ar_early_exit(
+        *common, stopped_init=jnp.ones((B,), bool)
+    )
+    assert np.all(np.asarray(lengths) == 0)
+
+
 def test_ar_scan_consistent_with_tf_cell():
     """The fixed-length AR driver uses the same cell: with a zero-dropout
     'prenet' that reproduces the teacher inputs it must emit the same first

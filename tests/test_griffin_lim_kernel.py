@@ -161,3 +161,60 @@ def test_pallas_gl_batch_cap_calibration():
     assert _pallas_gl_max_batch(1000, 1024, 256) >= 16
     assert _pallas_gl_max_batch(1000, 1024, 256) < 64
     assert _pallas_gl_max_batch(401, 1024, 256) >= 128
+
+
+def test_pallas_gl_momentum_cap_scales_base_term():
+    """The momentum variant's 3 extra (T, Fp) f32 carries scale the
+    T-proportional base term, not the per-batch term (ADVICE r2): the cap
+    must shrink with T under momentum, and must stay positive at T=1000
+    (where the old max_b//2 heuristic was calibrated)."""
+    from multi_speaker_tts_tpu.ops.stft_matmul import _pallas_gl_max_batch
+
+    # T=1000: the momentum live set alone (~1.6 x 14.9 MB) exceeds the
+    # 16 MB scoped limit - no batch fits; the dispatcher must fall back to
+    # GEMM instead of failing to compile at serve time (the old max_b//2
+    # heuristic claimed 9 rows would fit).
+    plain = _pallas_gl_max_batch(1000, 1024, 256)
+    mom = _pallas_gl_max_batch(1000, 1024, 256, momentum=0.99)
+    assert mom <= 0 < plain
+    # Moderate T: momentum shrinks the cap but stays usable.
+    mid_plain = _pallas_gl_max_batch(600, 1024, 256)
+    mid_mom = _pallas_gl_max_batch(600, 1024, 256, momentum=0.99)
+    assert 0 < mid_mom < mid_plain
+    # Short T: the absolute overhead is small; the cap must NOT be halved
+    # as the old batch-term heuristic did.
+    short_plain = _pallas_gl_max_batch(200, 1024, 256)
+    short_mom = _pallas_gl_max_batch(200, 1024, 256, momentum=0.99)
+    assert short_mom > short_plain // 2
+
+
+def test_chunk_plan_pads_awkward_batches():
+    """Prime/awkward batch sizes keep the kernel by padding up to equal
+    chunks instead of dropping to the ~8x slower GEMM path (ADVICE r2)."""
+    from multi_speaker_tts_tpu.ops.stft_matmul import _chunk_plan
+
+    n, c = _chunk_plan(61, 18)  # prime batch
+    assert n * c >= 61 and c <= 18
+    assert n * c - 61 <= 3  # minimal padding (4 chunks of 16)
+    n, c = _chunk_plan(64, 16)
+    assert (n, c) == (4, 16)  # exact divisor: no padding
+    n, c = _chunk_plan(8, 100)
+    assert (n, c) == (1, 8)  # fits in one call
+
+
+def test_chunked_padded_batch_matches_unpadded():
+    """Zero-padded rows through the chunked path must not change the real
+    rows (the dispatcher slices them off)."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    n_fft, hop, T, B = 512, 128, 17, 5
+    F = n_fft // 2 + 1
+    mag = jnp.asarray(rng.uniform(0.0, 1.0, size=(B, T, F)), jnp.float32)
+    plain = griffin_lim_pallas(mag, n_fft, hop, 4, interpret=True)
+    mag_p = jnp.concatenate([mag, jnp.zeros((1, T, F), jnp.float32)], axis=0)
+    chunked = jax.lax.map(
+        lambda m: griffin_lim_pallas(m, n_fft, hop, 4, interpret=True),
+        mag_p.reshape(2, 3, T, F),
+    ).reshape(6, -1)[:B]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(chunked))

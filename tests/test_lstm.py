@@ -171,3 +171,41 @@ def test_wavefront_custom_vjp_matches_autodiff(params_and_input):
             np.asarray(a), np.asarray(b), atol=2e-5 * scale,
             err_msg=f"wavefront grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_wavefront_custom_vjp_matches_autodiff_bf16(params_and_input):
+    """bf16-compute mode stores residuals in bf16 (unlike f32 mode, where
+    the casts are no-ops): the backward must still match autodiff of the
+    reference scan run in the SAME bf16 mode, at loosened tolerance
+    (mirrors test_decoder_scan.test_gradients_match_autodiff_bf16_compute)."""
+    x, params = params_and_input
+    key = jax.random.PRNGKey(4)
+    H = params.hidden_size
+    layers = tuple(
+        [params]
+        + [
+            lstm_ops.init_lstm_params(jax.random.fold_in(key, i), H, H)
+            for i in range(2)
+        ]
+    )
+    xj = jnp.asarray(x)
+
+    def loss(fn, layers, xj):
+        ys, h_T = fn(layers, xj, compute_dtype=jnp.bfloat16)
+        wy = jnp.cos(jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 0.01)
+        return jnp.sum(ys * wy) + jnp.sum(h_T * 0.7)
+
+    g_ref = jax.grad(
+        lambda l: loss(lstm_ops.lstm_stack_wavefront_ref, l, xj)
+    )(layers)
+    g_cus = jax.grad(
+        lambda l: loss(lstm_ops.lstm_stack_wavefront, l, xj)
+    )(layers)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0], jax.tree.leaves(g_cus)
+    ):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-2 * scale,
+            err_msg=f"bf16 wavefront grad mismatch at {jax.tree_util.keystr(path)}",
+        )

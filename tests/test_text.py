@@ -93,6 +93,46 @@ def test_phoneme_lexicon_override(tmp_path):
     assert out == ["@HH", "@AH0", "@L", "@OW1"]
 
 
+def test_lexicon_real_cmudict_format(tmp_path):
+    """load_lexicon against the actual CMUdict 0.7b file conventions:
+    ';;;' header comments, punctuation-named entries, (N) pronunciation
+    alternates, apostrophe words, and stress-marked phones (VERDICT r2
+    item 6: the lexicon path vs the real file format)."""
+    from multi_speaker_tts_tpu.text import phonemes as ph
+
+    lex = tmp_path / "cmudict-0.7b"
+    lex.write_text(
+        ";;; # CMUdict  -- Major Version: 0.07\n"
+        ";;; \n"
+        "!EXCLAMATION-POINT  EH2 K S K L AH0 M EY1 SH AH0 N P OY2 N T\n"
+        "\"CLOSE-QUOTE  K L OW1 Z K W OW1 T\n"
+        "'TIS  T IH1 Z\n"
+        "A  AH0\n"
+        "A(1)  EY1\n"
+        "ABANDON  AH0 B AE1 N D AH0 N\n"
+        "ABANDON(1)  AH0 B AE1 N D IH0 N\n"
+        "QUICK  K W IH1 K\n"
+        "\n",
+        encoding="latin-1",
+    )
+    lexicon = ph.load_lexicon(str(lex))
+    assert lexicon["a"] == ["AH0"]  # first pronunciation wins
+    assert lexicon["abandon"] == ["AH0", "B", "AE1", "N", "D", "AH0", "N"]
+    assert lexicon["quick"] == ["K", "W", "IH1", "K"]
+    assert "a(1)" not in lexicon  # alternates skipped
+    # End-to-end through the Use_Phoneme id pipeline with the lexicon file.
+    ids = ph.phoneme_text_to_sequence("a quick abandon", lexicon_path=str(lex))
+    want = (
+        ["@AH0", " "]
+        + [f"@{p}" for p in lexicon["quick"]]
+        + [" "]
+        + [f"@{p}" for p in lexicon["abandon"]]
+    )
+    got = [ph.phoneme_symbols[i] for i in ids[:-1]]
+    assert got == want
+    assert ids[-1] == ph.EOS_ID
+
+
 def test_encode_text_dispatch(tiny_hp):
     import numpy as np
 

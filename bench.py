@@ -355,6 +355,27 @@ def _bench_serving(jax, extra: dict) -> None:
     extra["serving_latency_ms_p50_no_early_exit"] = round(
         float(np.median(lat_f)) * 1e3, 1
     )
+    # Throughput-serving: 64 concurrent varied-length texts through the
+    # same early-exit + trimmed-transfer path (wav-only outputs, shipped
+    # as 16-bit PCM - what save_wav writes to disk anyway).
+    _stage("serving bench: B=64 throughput configuration")
+    texts64 = texts * 8
+    out64 = synth.synthesize(texts64, spk, return_linear=False, pcm16=True)
+    lat_t = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out64 = synth.synthesize(texts64, spk, return_linear=False,
+                                 pcm16=True)
+        lat_t.append(time.perf_counter() - t0)
+    audio64 = sum(o["mel_length"] for o in out64) * hop / sr
+    extra["serving_throughput_batch"] = len(texts64)
+    extra["serving_throughput_x_realtime"] = round(
+        audio64 / float(np.median(lat_t)), 2
+    )
+    extra["serving_throughput_latency_ms_p50"] = round(
+        float(np.median(lat_t)) * 1e3, 1
+    )
+
     extra["serving_compile_counts"] = {
         f"S{k[1]}_B{k[2]}_steps{k[3]}": v
         for k, v in synth.compile_counts.items()

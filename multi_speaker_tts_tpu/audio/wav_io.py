@@ -32,8 +32,13 @@ def load_wav(path, target_sr: int | None = None) -> tuple[np.ndarray, int]:
 
 
 def save_wav(path, wav: np.ndarray, sample_rate: int) -> None:
-    """Write a float waveform as 16-bit PCM, peak-normalized if clipping."""
-    wav = np.asarray(wav, dtype=np.float32)
+    """Write a float waveform as 16-bit PCM, peak-normalized if clipping.
+    int16 input (e.g. ``synthesize(..., pcm16=True)``) is written as-is."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16:
+        wavfile.write(path, sample_rate, wav)
+        return
+    wav = wav.astype(np.float32)
     peak = np.max(np.abs(wav)) if wav.size else 0.0
     if peak > 1.0:
         wav = wav / peak

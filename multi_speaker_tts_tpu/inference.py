@@ -226,6 +226,7 @@ class Synthesizer:
         early_exit: bool = True,
         pad_batch: bool = True,
         return_linear: bool = True,
+        pcm16: bool = False,
     ) -> list[dict]:
         """Texts -> list of {wav, mel, linear, alignment, mel_length}.
 
@@ -233,6 +234,11 @@ class Synthesizer:
         program's outputs (it is still computed on device when vocoding) -
         a wav-serving deployment has no use for it on the host and it is
         the single largest transfer.
+
+        ``pcm16=True`` converts the waveform to 16-bit PCM on device
+        (clipping at full scale) - exactly what ``wav_io.save_wav`` writes
+        to disk anyway, at half the transfer. ``item["wav"]`` is then
+        int16; ``save_wav`` passes it through untouched.
 
         ``max_steps=None`` picks a pow2 decode-length bucket from the batch's
         longest text (Decoder.Max_Frames_Per_Token frames per token, default
@@ -292,10 +298,11 @@ class Synthesizer:
         active[:B] = True
 
         key = ("infer", S, Bp, max_steps, vocode, sharded, early_exit,
-               return_linear)
+               return_linear, pcm16)
         if key not in self._infer_cache:
             self._infer_cache[key] = self._build_infer(
-                S, max_steps, vocode, sharded, early_exit, return_linear
+                S, max_steps, vocode, sharded, early_exit, return_linear,
+                pcm16,
             )
             self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
         out = self._infer_cache[key](
@@ -364,7 +371,8 @@ class Synthesizer:
         return jax.device_get(self._trim_cache[tkey](out))
 
     def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool,
-                     early_exit: bool = True, return_linear: bool = True):
+                     early_exit: bool = True, return_linear: bool = True,
+                     pcm16: bool = False):
         taco = self.models.tacotron
         hp = self.hp
         cfg = self.dsp_cfg
@@ -408,7 +416,12 @@ class Synthesizer:
                         cfg.griffin_lim_iter, length,
                         momentum=cfg.griffin_lim_momentum,
                     )
-                out["wav"] = dsp.inv_preemphasis(wav, cfg.preemphasis)
+                wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
+                if pcm16:
+                    wav = jnp.clip(
+                        jnp.round(wav * 32767.0), -32768.0, 32767.0
+                    ).astype(jnp.int16)
+                out["wav"] = wav
             # Serving returns mel_post/linear/wav/alignments/lengths; the
             # pre-postnet mel and raw stop logits are training-side debug
             # outputs - dropping them here keeps them out of the program's
@@ -460,7 +473,18 @@ def main() -> None:
     if not texts:
         parser.error("pass -text and/or -text_file")
 
-    hp = load_hyper_parameters(args.hyper_parameters)
+    if args.checkpoint.endswith(".msgpack"):
+        # Compact single-file checkpoint: hp rides in its meta (explicit
+        # -hp still overrides).
+        synth0 = Synthesizer.from_compact(
+            args.checkpoint,
+            hp=(load_hyper_parameters(args.hyper_parameters)
+                if args.hyper_parameters else None),
+        )
+        hp = synth0.hp
+    else:
+        synth0 = None
+        hp = load_hyper_parameters(args.hyper_parameters)
     spk_type = hp.Speaker_Embedding.get("Type")
     if spk_type == "GE2E" and not args.ref:
         parser.error(
@@ -469,7 +493,7 @@ def main() -> None:
         )
     if spk_type == "LUT" and args.speaker_id is None:
         parser.error("this model uses a speaker lookup table: pass -speaker_id")
-    synth = Synthesizer.from_checkpoint(args.checkpoint, hp)
+    synth = synth0 or Synthesizer.from_checkpoint(args.checkpoint, hp)
     spk = synth.enroll(args.ref) if args.ref else None
     results = synth.synthesize(
         texts, spk, max_steps=args.max_steps,

@@ -92,6 +92,26 @@ def test_trimmed_transfer_matches_untrimmed(setup):
         assert all(t <= 64 for t in trim_buckets)
 
 
+def test_pcm16_wav_matches_quantized_float(setup, tmp_path):
+    """pcm16=True ships int16 from the device; values must equal the f32
+    wav quantized on host, and save_wav must write them bit-identically."""
+    from multi_speaker_tts_tpu.audio import wav_io
+
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(4).normal(size=8000).astype(np.float32)])
+    a = synth.synthesize(["hello"], spk, max_steps=16)[0]
+    b = synth.synthesize(["hello"], spk, max_steps=16, pcm16=True)[0]
+    assert b["wav"].dtype == np.int16
+    want = np.clip(np.round(a["wav"] * 32767.0), -32768, 32767).astype(np.int16)
+    # Allow 1 LSB of difference from device-vs-host float rounding.
+    assert np.abs(b["wav"].astype(np.int32) - want.astype(np.int32)).max() <= 1
+    wav_io.save_wav(tmp_path / "x.wav", b["wav"], synth.dsp_cfg.sample_rate)
+    reread, _ = wav_io.load_wav(tmp_path / "x.wav")
+    np.testing.assert_array_equal(
+        (reread * 32768.0).astype(np.int16), b["wav"]
+    )
+
+
 def test_synthesize_with_vocode_fallback(setup):
     """tiny hp hop=64 -> GEMM fallback vocoder on CPU; wav lengths track
     mel lengths."""

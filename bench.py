@@ -402,7 +402,9 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     # 295k, B=96: 297k, B=128: 288k frames/s with the custom-VJP scans):
     # recurrent matmuls need >= 64 rows to amortize weight streaming, and
     # throughput plateaus past that - the sequential scan depth dominates.
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+    # Re-swept at r=2 (PROFILE.md): halving the scan length moved the knee
+    # from 64 to 96 (464k/496k/485k/379k frames/s at 64/96/128/192).
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "96"))
     r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
     S, T = 100, 400 - (400 % r)
     rng = np.random.default_rng(0)

@@ -114,11 +114,12 @@ def main() -> None:
     models = trainer_lib.build_models(hp)
     r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
 
-    # Measured batch sweep on v5e (constant workload, this round): B=16
-    # 3,080x / B=32 4,025x / B=64 4,563x / B=128 4,604x real-time. B=64 is
-    # the knee - AR decode at small batch pays the same per-step latency
-    # for 4x less audio; past 64 the matmuls saturate.
-    BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+    # Measured batch sweep on v5e (constant workload): at r=1, B=16
+    # 3,080x / B=32 4,025x / B=64 4,563x / B=128 4,604x real-time - B=64
+    # was the knee. Re-swept at r=2 (half the AR steps): B=64 5,590x /
+    # B=96 5,880x / B=128 5,768x - the knee moves to 96, same as the
+    # train-side sweep (PROFILE.md).
+    BATCH = int(os.environ.get("BENCH_BATCH", "96"))
     MAX_STEPS = int(os.environ.get("BENCH_FRAMES", "400"))
     MAX_STEPS -= MAX_STEPS % r  # frame budget must be an r multiple
     S = 64

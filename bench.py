@@ -274,6 +274,10 @@ def _bench_serving(jax, extra: dict) -> None:
         str(root / "demo" / "enroll_spk0_utt0.wav"),
         str(root / "demo" / "enroll_spk0_utt1.wav"),
     ])
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(synth.params)
+    )
+    extra["serving_model_params_m"] = round(n_params / 1e6, 2)
     texts = [
         "the quick brown fox jumps over the lazy dog.",
         "she sells sea shells by the sea shore.",

@@ -154,6 +154,21 @@ def test_batch_pad_bucket_matches_unpadded(setup):
     assert len(synth._infer_cache) == n1 + 1  # only the pad_batch=False B=3
 
 
+def test_synthesize_edge_case_texts(setup):
+    """Serving robustness: empty, whitespace-only, punctuation-only,
+    non-ASCII, and very long texts must all produce finite outputs (the
+    front-end always emits at least EOS; the decode bucket caps at
+    Max_Step)."""
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(7).normal(size=8000).astype(np.float32)])
+    texts = ["", "   ", "?!.", "héllo wörld — «quoted»", "word " * 300]
+    out = synth.synthesize(texts, spk, vocode=False)  # bucketed max_steps
+    assert len(out) == len(texts)
+    for item in out:
+        assert 1 <= item["mel_length"] <= synth.hp.Decoder.Max_Step
+        assert np.isfinite(item["mel"]).all()
+
+
 def test_round_up():
     assert _round_up(1, 16) == 16
     assert _round_up(16, 16) == 16

@@ -263,6 +263,29 @@ def main() -> None:
         )
         extra["stop_enabled_decode_bucket_frames"] = bucket
         extra["stop_enabled_mean_length_frames"] = round(float(lengths.mean()), 1)
+
+        # Full-size-model interactive bound: a B=8 request on the 44M-param
+        # production config decoding a 400-frame bucket END TO END (random
+        # weights never stop, so this is the per-request latency CEILING -
+        # the trained-checkpoint serving_* numbers above show where real
+        # decodes land inside it).
+        _stage("full-model B=8 request-latency bound")
+        fn_req = make_synth(400 - (400 % r), hp.Decoder.Stop_Threshold,
+                            early_exit=True)
+        args8 = tuple(
+            a[:8] if hasattr(a, "ndim") and a.ndim and a.shape[0] == BATCH
+            else a
+            for a in args
+        )
+        float(fn_req(*args8)[0])  # compile + warmup
+        lat8 = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(fn_req(*args8)[0])
+            lat8.append(time.perf_counter() - t0)
+        extra["fullmodel_b8_request_ms_p50_bound"] = round(
+            float(np.median(lat8)) * 1e3, 1
+        )
     else:
         extra["synthesis_x_realtime_stop_enabled"] = "skipped (budget)"
 

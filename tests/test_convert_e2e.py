@@ -176,3 +176,34 @@ def test_converted_weights_drive_training_state(converted, parity_hp):
     step = jax.jit(trainer_lib.make_train_step(parity_hp, models))
     state, metrics = step(state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_convert_cli_to_servable_compact(torch_models, parity_hp, tmp_path,
+                                         monkeypatch):
+    """python -m multi_speaker_tts_tpu.convert: one command from the
+    reference torch.save file to a compact checkpoint the Synthesizer
+    loads and serves from."""
+    import sys
+
+    from multi_speaker_tts_tpu.convert.__main__ import main as convert_main
+    from multi_speaker_tts_tpu.inference import Synthesizer
+
+    taco, ge2e = torch_models
+    src = tmp_path / "S_100.pt"
+    dst = tmp_path / "converted.msgpack"
+    save_reference_checkpoint(str(src), tacotron=taco, ge2e=ge2e, steps=100)
+    hp_yaml = tmp_path / "hp.yaml"
+    import yaml
+
+    hp_yaml.write_text(yaml.safe_dump(parity_hp.to_dict()))
+    monkeypatch.setattr(sys, "argv", [
+        "convert", "-in", str(src), "-hp", str(hp_yaml), "-out", str(dst),
+    ])
+    convert_main()
+    synth = Synthesizer.from_compact(str(dst))  # hp from meta
+    spk = synth.enroll(
+        [np.random.default_rng(9).normal(size=4096).astype(np.float32)]
+    )
+    out = synth.synthesize(["converted"], spk, max_steps=8, vocode=False)[0]
+    assert out["mel_length"] >= 1
+    assert np.isfinite(out["mel"]).all()

@@ -221,11 +221,20 @@ def main() -> None:
                              "(EER, cosine margins) over the pattern set")
     args = parser.parse_args()
 
-    hp = load_hyper_parameters(args.hyper_parameters)
     from multi_speaker_tts_tpu.inference import Synthesizer, _enable_compilation_cache
 
     _enable_compilation_cache()
-    synth = Synthesizer.from_checkpoint(args.checkpoint, hp)
+    if args.checkpoint.endswith(".msgpack"):
+        # Compact single-file checkpoint: hp rides in its meta.
+        synth = Synthesizer.from_compact(
+            args.checkpoint,
+            hp=(load_hyper_parameters(args.hyper_parameters)
+                if args.hyper_parameters else None),
+        )
+        hp = synth.hp
+    else:
+        hp = load_hyper_parameters(args.hyper_parameters)
+        synth = Synthesizer.from_checkpoint(args.checkpoint, hp)
     import jax.numpy as jnp
 
     state = trainer_lib.TrainState(

@@ -18,6 +18,7 @@ f64 oracle.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -126,7 +127,7 @@ def stft_magnitude_matmul(
 
 
 def _pallas_gl_max_batch(T: int, n_fft: int, hop: int,
-                         momentum: float = 0.0) -> int:
+                         momentum: float = 0.0, staged: bool = False) -> int:
     """Largest per-call batch for which the Pallas Griffin-Lim kernel fits
     Mosaic's 16 MB scoped-VMEM stack limit.
 
@@ -143,12 +144,22 @@ def _pallas_gl_max_batch(T: int, n_fft: int, hop: int,
     (T, Fp)-class f32 live buffers); that scales the T-proportional base
     term - NOT the per-batch bookkeeping term - so it is modeled as a
     factor on a(T) (~1.6x: base set is re/im/rny + scale temps ~5 live
-    (T, Fp) buffers, momentum adds 3)."""
+    (T, Fp) buffers, momentum adds 3).
+
+    ``staged`` = the 8-leaf factored kernel, whose per-class u/z
+    temporaries make its base slightly larger: the compiler reports
+    16.19 MB at (B=14, T=1000) vs the dense model's 15.35, a ~1.06x base
+    ratio - modeled at 1.10x for margin. Where the staged cap comes out
+    below the batch floor, the dispatcher simply keeps the dense kernel
+    (long-T decodes), so the model erring conservative costs only the
+    staged speedup on the tail."""
     # Nyquist-folded kernel: round_up(n_fft/2, 128) main lanes plus one
     # 128-lane block for the Nyquist carry - 640 lane-equivalents at
     # n_fft=1024, the original calibration point.
     Fp = ((n_fft // 2 + 127) // 128) * 128 + 128
     base_mb = 14.92 * (T * Fp) / (1000.0 * 640.0)
+    if staged:
+        base_mb *= 1.10
     if momentum > 0.0:
         base_mb *= 1.6
     return int((16.0 - 0.5 - base_mb) / 0.0306)
@@ -200,10 +211,36 @@ def griffin_lim_auto(
                 griffin_lim_pallas,
             )
 
+            # The staged (8-leaf) kernel factors the DFT GEMMs down to
+            # 1/4 of the dense kernel's MXU units: measured 58.9 -> 32.8
+            # ms (plain 60 iters) / 31.8 -> 18.4 ms (momentum 30) at
+            # B=96, T=400 with identical spectral convergence. It is
+            # specialized to n_fft=1024 (the production config) and its
+            # slightly larger scoped-VMEM base must also fit; other sizes
+            # and over-budget long-T decodes keep the dense kernel.
+            kernel_fn = griffin_lim_pallas
+            kind = "pallas"
+            if n_fft == 1024 and not os.environ.get("GL_DENSE_KERNEL"):
+                max_b_staged = _pallas_gl_max_batch(
+                    T, n_fft, hop, momentum, staged=True
+                )
+                if max_b_staged >= min(B, 8):
+                    from multi_speaker_tts_tpu.ops.griffin_lim_staged import (
+                        griffin_lim_staged,
+                    )
+
+                    def kernel_fn(m, n_fft, hop, n_iter, momentum=0.0):
+                        return griffin_lim_staged(
+                            m, n_fft, hop, n_iter, momentum=momentum
+                        )
+
+                    kind = "pallas_staged"
+                    max_b = max_b_staged
+
             if B <= max_b:
-                _log_dispatch("griffin_lim", "pallas",
+                _log_dispatch("griffin_lim", kind,
                               f"VMEM-resident kernel, T={T}")
-                return griffin_lim_pallas(
+                return kernel_fn(
                     magnitude, n_fft, hop, n_iter, momentum=momentum
                 )
             # Oversized batch: run the kernel over equal sequential chunks
@@ -214,7 +251,7 @@ def griffin_lim_auto(
             n_chunks, chunk = _chunk_plan(B, max_b)
             Bp = n_chunks * chunk
             _log_dispatch(
-                "griffin_lim", "pallas_chunked",
+                "griffin_lim", f"{kind}_chunked",
                 f"T={T}: scoped-VMEM cap {max_b} rows/call, "
                 f"{n_chunks} chunks of {chunk}"
                 + (f" ({Bp - B} pad rows)" if Bp > B else ""),
@@ -227,7 +264,7 @@ def griffin_lim_auto(
                     axis=0,
                 )
             out = jax.lax.map(
-                lambda m: griffin_lim_pallas(
+                lambda m: kernel_fn(
                     m, n_fft, hop, n_iter, momentum=momentum
                 ),
                 mag_p.reshape(n_chunks, chunk, T, magnitude.shape[-1]),

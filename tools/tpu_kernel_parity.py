@@ -108,6 +108,30 @@ def main() -> None:
         "pass": abs(sc_pl - sc_mm) / max(sc_mm, 1e-9) <= 0.05,
     }
 
+    # --- staged (8-leaf) GL kernel: the serving dispatch at n_fft=1024 ------
+    from multi_speaker_tts_tpu.ops.griffin_lim_staged import griffin_lim_staged
+
+    for label, it, mom in (("plain30", 30, 0.0), ("momentum30", 30, 0.99)):
+        wav_st = np.asarray(jax.device_get(jax.jit(
+            lambda m, it=it, mom=mom: griffin_lim_staged(
+                m, cfg.n_fft, cfg.hop, it, momentum=mom
+            )
+        )(jnp.asarray(mag))))
+        wav_ref = np.asarray(jax.device_get(jax.jit(
+            lambda m, it=it, mom=mom: griffin_lim_matmul(
+                m, cfg.n_fft, cfg.hop, it, length, momentum=mom
+            )
+        )(jnp.asarray(mag))))
+        sc_st = spectral_convergence(wav_st)
+        sc_rf = spectral_convergence(wav_ref)
+        results["checks"][f"griffin_lim_staged_{label}"] = {
+            "spectral_convergence_staged": sc_st,
+            "spectral_convergence_gemm": sc_rf,
+            "rel_gap": abs(sc_st - sc_rf) / max(sc_rf, 1e-9),
+            "tolerance_rel_gap": 0.05,
+            "pass": abs(sc_st - sc_rf) / max(sc_rf, 1e-9) <= 0.05,
+        }
+
     # --- long-T mel (enrollment-length wav through the fused kernel) --------
     cfg_main = dsp.DSPConfig.from_hp(default_hparams())
     L_long = (1 << 17)  # ~6 s at 22.05 kHz; T = 513 frames

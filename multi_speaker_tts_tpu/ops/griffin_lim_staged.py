@@ -50,13 +50,6 @@ L = 128  # leaf length
 KEPT = (0, 1, 2, 3, 4)  # stored classes; 5..7 are conjugate mirrors
 R2 = float(np.sqrt(2.0) / 2.0)
 
-# cos/sin(2 pi j c / 8) tables used by both combines (exact values).
-_COS = [[float(np.round(np.cos(2 * np.pi * j * c / 8), 12)) for c in range(8)]
-        for j in range(8)]
-_SIN = [[float(np.round(np.sin(2 * np.pi * j * c / 8), 12)) for c in range(8)]
-        for j in range(8)]
-
-
 @functools.lru_cache(maxsize=4)
 def _staged_operands(dtype_str: str):
     """Leaf GEMM matrices + windows in block layout + magnitude permutation.
@@ -73,14 +66,17 @@ def _staged_operands(dtype_str: str):
         ang = -2.0 * np.pi * m * k / N_FFT
         Mr, Mi = np.cos(ang), np.sin(ang)
         fwd.append((Mr.astype(dtype), Mi.astype(dtype)))
-        # u_c[m] = (1/128) sum_t Y_c[t] exp(+2 pi i m (8t + c) / 1024)
-        inv.append(((Mr.T / L).astype(dtype), (-Mi.T / L).astype(dtype)))
+        # u_c[m] = (1/128) sum_t Y_c[t] exp(+2 pi i m (8t + c) / 1024);
+        # the mirrored classes' 2x (u_{8-c} conjugate fold) is pre-scaled
+        # into their leaves so the inverse combine is scale-free.
+        two = 2.0 if c in (1, 2, 3) else 1.0
+        inv.append(((two * Mr.T / L).astype(dtype),
+                    (-two * Mi.T / L).astype(dtype)))
     win = _hann(N_FFT).astype(np.float64)
     win_blocks = win.reshape(S, L).astype(np.float32)  # analysis
-    # Synthesis: the inverse leaves carry 1/128 and the j-combine 1/8 ->
-    # total 1/1024 = 1/N (the dense kernel's IDFT scaling), so the
-    # synthesis window applies plain.
-    syn_blocks = win.reshape(S, L).astype(np.float32)
+    # Synthesis: the inverse leaves carry 1/128, the combine's 1/8 is
+    # folded HERE -> total 1/1024 = 1/N (the dense kernel's IDFT scaling).
+    syn_blocks = (win.reshape(S, L) / S).astype(np.float32)
     perm = np.zeros((len(KEPT) * L,), np.int32)  # staged lane -> source bin
     for g, c in enumerate(KEPT):
         k = 8 * np.arange(L) + c
@@ -90,43 +86,49 @@ def _staged_operands(dtype_str: str):
 
 
 def _combine_forward(blocks):
-    """8 real (T, L) blocks -> z_c (re, im) for c in KEPT. Coefficients are
-    exact {0, +-1, +-sqrt2/2}; zero terms skipped, unit terms are adds."""
-    out = []
-    for c in KEPT:
-        zr = zi = None
-
-        def acc(acc_v, x, coef):
-            if coef == 0.0:
-                return acc_v
-            term = x if coef == 1.0 else (-x if coef == -1.0 else x * coef)
-            return term if acc_v is None else acc_v + term
-
-        for j in range(S):
-            zr = acc(zr, blocks[j], _COS[j][c])
-            zi = acc(zi, blocks[j], -_SIN[j][c])
-        out.append((zr, jnp.zeros_like(zr) if zi is None else zi))
-    return out
+    """8 real (T, L) blocks -> z_c (re, im) for c in KEPT, via the exact
+    8-point DFT butterfly (shared partial sums: 21 VPU adds + 2 scalings
+    vs ~56 for term-by-term evaluation). z_0 and z_4 are exactly real
+    (real inputs, real coefficients) and return ``im=None`` so the leaf
+    GEMMs against their imaginary plane can be skipped entirely."""
+    b = blocks
+    s = [b[j] + b[j + 4] for j in range(4)]
+    d = [b[j] - b[j + 4] for j in range(4)]
+    u0, u1 = s[0] + s[2], s[1] + s[3]
+    v0, v1 = s[0] - s[2], s[1] - s[3]
+    p = (d[1] - d[3]) * R2
+    q = (d[1] + d[3]) * R2
+    return [
+        (u0 + u1, None),          # c=0
+        (d[0] + p, -q - d[2]),    # c=1
+        (v0, -v1),                # c=2
+        (d[0] - p, -q + d[2]),    # c=3
+        (u0 - u1, None),          # c=4
+    ]
 
 
 def _combine_inverse(us):
-    """u_c (re, im) for c in KEPT -> 8 real (T, L) frame blocks:
-    x_j = (1/8) [u_0 + (-1)^j u_4 + 2 sum_{c=1..3} Re(u_c w8^{-jc})],
-    w8^{-jc} = e^{+2 pi i j c / 8}, so
-    Re(u w8^{-jc}) = ur cos(2 pi j c / 8) - ui sin(2 pi j c / 8)."""
-    blocks = []
-    for j in range(S):
-        x = us[0][0] + (us[4][0] if j % 2 == 0 else -us[4][0])
-        for c in (1, 2, 3):
-            ur, ui = us[c]
-            cj, sj = _COS[j][c], _SIN[j][c]
-            for coef, plane in ((2.0 * cj, ur), (-2.0 * sj, ui)):
-                if coef == 0.0:
-                    continue
-                x = x + (plane if coef == 1.0
-                         else (-plane if coef == -1.0 else plane * coef))
-        blocks.append(x * (1.0 / S))
-    return blocks
+    """u_c for c in KEPT -> 8 real (T, L) frame blocks, exact butterfly:
+
+        x_j = (1/8) [u_0 + (-1)^j u_4 + sum_{c=1..3} Re(U_c w8^{-jc})]
+
+    where U_c = 2 u_c for the mirrored classes - the 2x is pre-folded into
+    the c in {1,2,3} inverse leaf matrices and the 1/8 into the synthesis
+    window (``_staged_operands``), so this routine is scale-free: 22 adds
+    + 4 sqrt(2)/2 scalings vs ~50 ops + 8 scalings term-by-term. Even-c
+    terms E_j have period 4 in j, odd-c terms O_j antiperiod 4, giving the
+    final radix-2 split x_j = E_j + O_j, x_{j+4} = E_j - O_j."""
+    u0, u4 = us[0][0], us[4][0]
+    Ur1, Ui1 = us[1]
+    Ur2, Ui2 = us[2]
+    Ur3, Ui3 = us[3]
+    P, Q = u0 + u4, u0 - u4
+    E = [P + Ur2, Q - Ui2, P - Ur2, Q + Ui2]
+    g1, h1 = (Ur1 - Ui1) * R2, (Ur1 + Ui1) * R2
+    g3, h3 = (Ur3 - Ui3) * R2, (Ur3 + Ui3) * R2
+    O = [Ur1 + Ur3, g1 - h3, Ui3 - Ui1, g3 - h1]
+    return [E[0] + O[0], E[1] + O[1], E[2] + O[2], E[3] + O[3],
+            E[0] - O[0], E[1] - O[1], E[2] - O[2], E[3] - O[3]]
 
 
 def _gl_staged_kernel(
@@ -165,7 +167,6 @@ def _gl_staged_kernel(
                 ui = jnp.dot(Yr, IMi, preferred_element_type=jnp.float32) + \
                     jnp.dot(Yi, IMr, preferred_element_type=jnp.float32)
                 us.append((ur, ui))
-        us = [(r, (jnp.zeros_like(r) if i is None else i)) for r, i in us]
         blocks = _combine_inverse(us)
         acc = jnp.zeros((rows_pad, hop), jnp.float32)
         for i in range(k_blocks):
@@ -191,11 +192,13 @@ def _gl_staged_kernel(
         for g, c in enumerate(KEPT):
             Mr, Mi, _, _ = leaf(g)
             zr, zi = zs[g]
-            zrc, zic = zr.astype(cdtype), zi.astype(cdtype)
-            yr = jnp.dot(zrc, Mr, preferred_element_type=jnp.float32) - \
-                jnp.dot(zic, Mi, preferred_element_type=jnp.float32)
-            yi = jnp.dot(zrc, Mi, preferred_element_type=jnp.float32) + \
-                jnp.dot(zic, Mr, preferred_element_type=jnp.float32)
+            zrc = zr.astype(cdtype)
+            yr = jnp.dot(zrc, Mr, preferred_element_type=jnp.float32)
+            yi = jnp.dot(zrc, Mi, preferred_element_type=jnp.float32)
+            if zi is not None:  # z_0 / z_4 are exactly real: 2 GEMMs only
+                zic = zi.astype(cdtype)
+                yr = yr - jnp.dot(zic, Mi, preferred_element_type=jnp.float32)
+                yi = yi + jnp.dot(zic, Mr, preferred_element_type=jnp.float32)
             res.append(yr)
             ims.append(yi)
         return jnp.concatenate(res, axis=-1), jnp.concatenate(ims, axis=-1)

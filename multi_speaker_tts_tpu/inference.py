@@ -53,6 +53,44 @@ def _decode_bucket(estimate: int, max_step: int, floor: int = 64) -> int:
     return min(bucket, max_step)
 
 
+def _gl_vocode(out: dict, cfg, pcm16: bool) -> jax.Array:
+    """Linear (or mel-only) decoder outputs -> waveform, fully on device:
+    denormalize, Griffin-Lim (Pallas/GEMM dispatch), inverse preemphasis,
+    optional on-device 16-bit PCM conversion. Shared by the fused infer
+    program and the bucketed split-vocode program."""
+    spec = out.get("linear")
+    if spec is None:
+        # Mel-only model: invert mel with the filterbank pseudo-inverse.
+        basis = jnp.asarray(np.linalg.pinv(np.asarray(cfg.mel_basis)))
+        S_db = dsp.denormalize(out["mel_post"], cfg.min_level_db)
+        mag = jnp.maximum(
+            dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
+        )
+    else:
+        S_db = dsp.denormalize(spec, cfg.min_level_db)
+        mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
+    length = cfg.hop * (mag.shape[-2] - 1)
+    if cfg.n_fft % cfg.hop == 0:
+        # Pallas VMEM-resident GL on TPU, GEMM GL otherwise.
+        wav = stft_matmul.griffin_lim_auto(
+            mag**cfg.power, cfg.n_fft, cfg.hop,
+            cfg.griffin_lim_iter, length,
+            momentum=cfg.griffin_lim_momentum,
+        )
+    else:
+        wav = dsp.griffin_lim(
+            mag**cfg.power, cfg.n_fft, cfg.hop,
+            cfg.griffin_lim_iter, length,
+            momentum=cfg.griffin_lim_momentum,
+        )
+    wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
+    if pcm16:
+        wav = jnp.clip(
+            jnp.round(wav * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+    return wav
+
+
 class Synthesizer:
     """High-level text -> waveform engine with zero-shot speaker cloning."""
 
@@ -77,6 +115,7 @@ class Synthesizer:
         self.mesh = mesh
         self._infer_cache: dict = {}
         self._trim_cache: dict = {}
+        self._vocode_cache: dict = {}
         self._embed_cache: dict = {}
         # Serving observability: how many distinct programs were compiled,
         # keyed by (S, Bp, max_steps, ...) bucket shape (VERDICT r2 item 7).
@@ -227,8 +266,26 @@ class Synthesizer:
         pad_batch: bool = True,
         return_linear: bool = True,
         pcm16: bool = False,
+        split_vocode: bool = True,
+        return_device: bool = False,
     ) -> list[dict]:
         """Texts -> list of {wav, mel, linear, alignment, mel_length}.
+
+        ``split_vocode`` (default) runs decode and vocode as two programs:
+        the decoder (with its stop-aware early exit) runs first, the tiny
+        ``mel_lengths`` fetch that the on-device output trim needs anyway
+        picks a pow2 bucket of the batch's longest DECODED length, and
+        Griffin-Lim runs at THAT bucket instead of the full decode bucket
+        - e.g. 128 frames of vocoding instead of 400 when a trained model
+        self-stops early. Costs no extra host round trip (the trim fetch
+        becomes the vocode-bucket fetch); the wav differs from the fused
+        program only by Griffin-Lim's phase coupling into the padding
+        region past the decoded frames. ``split_vocode=False`` keeps the
+        single fused decode+vocode program.
+
+        ``return_device`` returns the raw on-device output dict (no trim,
+        no vocode when splitting, no host transfer) - for pipelining and
+        device-bound benchmarking.
 
         ``return_linear=False`` keeps the linear spectrogram out of the
         program's outputs (it is still computed on device when vocoding) -
@@ -297,12 +354,18 @@ class Synthesizer:
         active = np.zeros((Bp,), bool)
         active[:B] = True
 
-        key = ("infer", S, Bp, max_steps, vocode, sharded, early_exit,
-               return_linear, pcm16)
+        split = vocode and split_vocode
+        # Split mode runs a decode-only program (vocode=False); the linear
+        # head stays in its outputs (on device) as the vocode program's
+        # input. pcm16 only affects the vocode program.
+        key = ("infer", S, Bp, max_steps, vocode and not split, sharded,
+               early_exit, True if split else return_linear,
+               False if split else pcm16)
         if key not in self._infer_cache:
             self._infer_cache[key] = self._build_infer(
-                S, max_steps, vocode, sharded, early_exit, return_linear,
-                pcm16,
+                S, max_steps, vocode and not split, sharded, early_exit,
+                True if split else return_linear,
+                False if split else pcm16,
             )
             self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
         out = self._infer_cache[key](
@@ -314,7 +377,14 @@ class Synthesizer:
             self.rng,
             jnp.asarray(active),
         )
-        out = self._trimmed_device_get(out, key, max_steps)
+        if return_device:
+            return out
+        if split:
+            out = self._vocoded_device_get(
+                out, key, max_steps, return_linear, pcm16, sharded
+            )
+        else:
+            out = self._trimmed_device_get(out, key, max_steps)
 
         results = []
         hop = self.dsp_cfg.hop
@@ -370,6 +440,45 @@ class Synthesizer:
             self._trim_cache[tkey] = trim
         return jax.device_get(self._trim_cache[tkey](out))
 
+    def _vocoded_device_get(self, out: dict, key, max_steps: int,
+                            return_linear: bool, pcm16: bool,
+                            sharded: bool) -> dict:
+        """Split-vocode tail: fetch ``mel_lengths`` (the same tiny fetch
+        the output trim costs), pick a pow2 bucket Tb of the longest
+        decoded length, then run ONE jitted program that slices every
+        time-axis array to Tb AND Griffin-Lims the sliced spectrogram -
+        vocoding scales with decoded speech length, not the decode
+        bucket. Cached per (infer key, Tb, outputs)."""
+        mel_lengths = np.asarray(jax.device_get(out["mel_lengths"]))
+        r = int(self.hp.Decoder.get("N_Frames_Per_Step", 1))
+        T_max = max(int(mel_lengths.max()), r)
+        Tb = min(_decode_bucket(T_max, max_steps), max_steps)
+        vkey = ("vocode", key[1], key[2], Tb, return_linear, pcm16, sharded)
+        if vkey not in self._vocode_cache:
+            steps = max(-(-Tb // r), 1)
+            cfg = self.dsp_cfg
+
+            def vfn(o):
+                o = dict(o)
+                o["mel_post"] = o["mel_post"][:, :Tb]
+                if "linear" in o:
+                    o["linear"] = o["linear"][:, :Tb]
+                if "alignments" in o:
+                    o["alignments"] = o["alignments"][:, :steps]
+                o["wav"] = _gl_vocode(o, cfg, pcm16)
+                if not return_linear:
+                    o.pop("linear", None)
+                return o
+
+            if sharded and self.mesh is not None:
+                _, shard = mesh_lib.data_parallel_shardings(self.mesh)
+                fn = jax.jit(vfn, in_shardings=(shard,), out_shardings=shard)
+            else:
+                fn = jax.jit(vfn)
+            self._vocode_cache[vkey] = fn
+            self.compile_counts[vkey] = self.compile_counts.get(vkey, 0) + 1
+        return jax.device_get(self._vocode_cache[vkey](out))
+
     def _build_infer(self, S: int, max_steps: int, vocode: bool, sharded: bool,
                      early_exit: bool = True, return_linear: bool = True,
                      pcm16: bool = False):
@@ -391,37 +500,7 @@ class Synthesizer:
                 rngs={"prenet": rng},
             )
             if vocode:
-                spec = out.get("linear")
-                if spec is None:
-                    # Mel-only model: invert mel with the filterbank pseudo-inverse.
-                    basis = jnp.asarray(np.linalg.pinv(np.asarray(cfg.mel_basis)))
-                    S_db = dsp.denormalize(out["mel_post"], cfg.min_level_db)
-                    mag = jnp.maximum(
-                        dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
-                    )
-                else:
-                    S_db = dsp.denormalize(spec, cfg.min_level_db)
-                    mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
-                length = cfg.hop * (mag.shape[-2] - 1)
-                if cfg.n_fft % cfg.hop == 0:
-                    # Pallas VMEM-resident GL on TPU, GEMM GL otherwise.
-                    wav = stft_matmul.griffin_lim_auto(
-                        mag**cfg.power, cfg.n_fft, cfg.hop,
-                        cfg.griffin_lim_iter, length,
-                        momentum=cfg.griffin_lim_momentum,
-                    )
-                else:
-                    wav = dsp.griffin_lim(
-                        mag**cfg.power, cfg.n_fft, cfg.hop,
-                        cfg.griffin_lim_iter, length,
-                        momentum=cfg.griffin_lim_momentum,
-                    )
-                wav = dsp.inv_preemphasis(wav, cfg.preemphasis)
-                if pcm16:
-                    wav = jnp.clip(
-                        jnp.round(wav * 32767.0), -32768.0, 32767.0
-                    ).astype(jnp.int16)
-                out["wav"] = wav
+                out["wav"] = _gl_vocode(out, cfg, pcm16)
             # Serving returns mel_post/linear/wav/alignments/lengths; the
             # pre-postnet mel and raw stop logits are training-side debug
             # outputs - dropping them here keeps them out of the program's

@@ -92,6 +92,32 @@ def test_trimmed_transfer_matches_untrimmed(setup):
         assert all(t <= 64 for t in trim_buckets)
 
 
+def test_split_vocode_matches_fused(setup):
+    """split_vocode (default) decodes and vocodes as two programs with
+    Griffin-Lim at the decoded-length bucket. At max_steps <= the bucket
+    floor the vocode bucket equals the decode bucket, so the math is
+    identical to the fused program and outputs must match tightly."""
+    synth, _ = setup
+    spk = synth.enroll([np.random.default_rng(7).normal(size=8000).astype(np.float32)])
+    texts = ["hello there", "hi"]
+    a = synth.synthesize(texts, spk, max_steps=16)  # split (default)
+    b = synth.synthesize(texts, spk, max_steps=16, split_vocode=False)
+    assert any(k[0] == "vocode" for k in synth._vocode_cache)
+    for x, y in zip(a, b):
+        assert x["mel_length"] == y["mel_length"]
+        np.testing.assert_allclose(x["mel"], y["mel"], atol=1e-5)
+        assert x["wav"].shape == y["wav"].shape
+        np.testing.assert_allclose(x["wav"], y["wav"], atol=1e-4)
+        np.testing.assert_allclose(x["alignment"], y["alignment"], atol=1e-5)
+    # wav-only + pcm16 ride the split path too
+    c = synth.synthesize(texts, spk, max_steps=16, return_linear=False,
+                         pcm16=True)
+    for x, z in zip(a, c):
+        assert "linear" not in z and z["wav"].dtype == np.int16
+        want = np.clip(np.round(x["wav"] * 32767.0), -32768, 32767)
+        assert np.abs(z["wav"].astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
 def test_pcm16_wav_matches_quantized_float(setup, tmp_path):
     """pcm16=True ships int16 from the device; values must equal the f32
     wav quantized on host, and save_wav must write them bit-identically."""
@@ -123,13 +149,16 @@ def test_synthesize_with_vocode_fallback(setup):
 
 
 def test_infer_cache_reuse(setup):
+    """Same-shape requests reuse one compiled program; split-vocode decode
+    programs are the SAME entry as vocode=False programs (an earlier
+    vocoded test on this fixture may have pre-built it)."""
     synth, _ = setup
     spk = synth.enroll([np.random.default_rng(2).normal(size=8000).astype(np.float32)])
-    n0 = len(synth._infer_cache)
     synth.synthesize(["aaa"], spk, max_steps=16, vocode=False)
     n1 = len(synth._infer_cache)
+    assert n1 > 0
     synth.synthesize(["bbb"], spk, max_steps=16, vocode=False)  # same padded S
-    assert len(synth._infer_cache) == n1 > n0
+    assert len(synth._infer_cache) == n1
 
 
 def test_batch_pad_bucket_matches_unpadded(setup):

@@ -138,6 +138,7 @@ class Decoder(nn.Module):
     n_frames_per_step: int
     scan_unroll: int = 1  # unroll factor for the teacher-forced frame scan
     bwd_unroll: int = 0  # backward-scan unroll (0 = same as scan_unroll)
+    early_exit_chunk: int = 16  # steps per early-exit while iteration
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -245,6 +246,7 @@ class Decoder(nn.Module):
                     cellp, prenet_fn, project_fn, keys, mem_f32, mask_f32,
                     n_steps, stop_threshold, rng, self.mel_dim,
                     self.compute_dtype, stopped_init=stopped_init,
+                    chunk=self.early_exit_chunk, unroll=self.scan_unroll,
                 )
             else:
                 frames, stops, aligns = dscan.decoder_ar_scan(
@@ -388,6 +390,7 @@ class Tacotron(nn.Module):
                 n_frames_per_step=hp.Decoder.get("N_Frames_Per_Step", 1),
                 scan_unroll=hp.Decoder.get("Scan_Unroll", 1),
                 bwd_unroll=hp.Decoder.get("Backward_Unroll", 0),
+                early_exit_chunk=hp.Decoder.get("Early_Exit_Chunk", 16),
             ),
             postnet=dict(
                 conv_stacks=hp.Postnet.Conv.Stacks,

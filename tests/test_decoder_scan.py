@@ -122,15 +122,30 @@ def test_early_exit_pre_stopped_rows_do_not_pin_the_loop():
     _, _, _, lengths = ds.decoder_ar_early_exit(*common)
     assert int(lengths[1]) == n_steps and int(lengths[2]) == n_steps
 
-    # Pre-stopped "PAD" rows: loop exits with row 0 after one step.
+    # Pre-stopped "PAD" rows: loop exits with row 0 after one step
+    # (chunk=1: exact one-step granularity, the legacy semantics).
     stopped_init = jnp.asarray([False, True, True])
     frames, stops, _, lengths = ds.decoder_ar_early_exit(
-        *common, stopped_init=stopped_init
+        *common, stopped_init=stopped_init, chunk=1
     )
     assert int(lengths[0]) == 1
     assert int(lengths[1]) == 0 and int(lengths[2]) == 0
     # Steps the loop never ran keep the filler (-1e4) stop logits.
     assert float(stops[1, 0]) <= -1e3
+
+    # Chunked (default) loop: decoded lengths are EXACTLY the chunk=1
+    # values (bookkeeping is per-step inside the chunk); the loop
+    # over-runs at most one chunk, so steps >= K keep the filler.
+    frames_c, stops_c, _, lengths_c = ds.decoder_ar_early_exit(
+        *common, stopped_init=stopped_init, chunk=8
+    )
+    assert np.array_equal(np.asarray(lengths_c), np.asarray(lengths))
+    K = max(k for k in range(1, 9) if n_steps % k == 0)  # = 6 for 12
+    assert float(stops_c[K, 0]) <= -1e3
+    # Decoded frames within each row's length match the chunk=1 run.
+    np.testing.assert_allclose(
+        np.asarray(frames_c[:1]), np.asarray(frames[:1]), atol=1e-6
+    )
 
     # All rows pre-stopped: zero trip count, nothing decoded.
     _, _, _, lengths = ds.decoder_ar_early_exit(

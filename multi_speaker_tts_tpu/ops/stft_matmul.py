@@ -146,22 +146,25 @@ def _pallas_gl_max_batch(T: int, n_fft: int, hop: int,
     factor on a(T) (~1.6x: base set is re/im/rny + scale temps ~5 live
     (T, Fp) buffers, momentum adds 3).
 
-    ``staged`` = the 8-leaf factored kernel, whose per-class u/z
-    temporaries make its base slightly larger: the compiler reports
-    16.19 MB at (B=14, T=1000) vs the dense model's 15.35, a ~1.06x base
-    ratio - modeled at 1.10x for margin. Where the staged cap comes out
-    below the batch floor, the dispatcher simply keeps the dense kernel
-    (long-T decodes), so the model erring conservative costs only the
-    staged speedup on the tail."""
+    ``staged`` = the 8-leaf factored kernel, which stores the target
+    magnitudes (and the momentum branch's previous-projection carries) in
+    bf16 - its per-row live set is SMALLER than the dense kernel's.
+    Probed at T=1000 on v5e: plain compiles at B=112 and fails at 128
+    (a ~ 11.6-12.1 MB, modeled 12.2); momentum-0.99 compiles at B=40 and
+    fails at 44 (a ~ 14.2, modeled 14.35). The margins make the model
+    err conservative; oversized batches chunk, so a conservative cap
+    costs only chunking granularity."""
     # Nyquist-folded kernel: round_up(n_fft/2, 128) main lanes plus one
     # 128-lane block for the Nyquist carry - 640 lane-equivalents at
     # n_fft=1024, the original calibration point.
     Fp = ((n_fft // 2 + 127) // 128) * 128 + 128
-    base_mb = 14.92 * (T * Fp) / (1000.0 * 640.0)
+    scale = (T * Fp) / (1000.0 * 640.0)
     if staged:
-        base_mb *= 1.10
-    if momentum > 0.0:
-        base_mb *= 1.6
+        base_mb = (14.35 if momentum > 0.0 else 12.2) * scale
+    else:
+        base_mb = 14.92 * scale
+        if momentum > 0.0:
+            base_mb *= 1.6
     return int((16.0 - 0.5 - base_mb) / 0.0306)
 
 
@@ -212,12 +215,12 @@ def griffin_lim_auto(
             )
 
             # The staged (8-leaf) kernel factors the DFT GEMMs down to
-            # 1/4 of the dense kernel's MXU units: measured 58.9 -> 32.8
-            # ms (plain 60 iters) / 31.8 -> 18.4 ms (momentum 30) at
-            # B=96, T=400 with identical spectral convergence. It is
-            # specialized to n_fft=1024 (the production config) and its
-            # slightly larger scoped-VMEM base must also fit; other sizes
-            # and over-budget long-T decodes keep the dense kernel.
+            # 1/4 of the dense kernel's MXU units (B=96/T=400 plain-60:
+            # 58.9 -> 25.1 ms with the butterfly combines) and stores
+            # magnitudes in bf16, so its scoped-VMEM cap is HIGHER than
+            # the dense kernel's (T=1000 rows fit to B~112 where dense
+            # manages 18). It is specialized to n_fft=1024 (the
+            # production config); other sizes keep the dense kernel.
             kernel_fn = griffin_lim_pallas
             kind = "pallas"
             if n_fft == 1024 and not os.environ.get("GL_DENSE_KERNEL"):

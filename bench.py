@@ -412,6 +412,30 @@ def _bench_serving(jax, extra: dict) -> None:
     extra["serving_latency_ms_p50_no_early_exit"] = round(
         float(np.median(lat_f)) * 1e3, 1
     )
+
+    # DEVICE-BOUND decode comparison (two-point, return_device): with
+    # split vocode + on-device trim in BOTH modes, the public-API p50 gap
+    # above is dominated by remote-link transfer variance; this isolates
+    # the decode loop itself (early-exit chunked while vs fixed scan).
+    _stage("serving bench: device-bound decode early-exit vs fixed")
+
+    def decode_ms(early_exit: bool) -> float:
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = synth.synthesize(texts, spk, vocode=False,
+                                     early_exit=early_exit,
+                                     return_device=True)
+            np.asarray(jax.device_get(o["mel_lengths"]))
+            return time.perf_counter() - t0
+
+        run(1)  # compile + warm
+        t_lo = min(run(1) for _ in range(3))
+        t_hi = min(run(5) for _ in range(3))
+        return (t_hi - t_lo) / 4 * 1e3
+
+    extra["serving_decode_ms_early_exit_device"] = round(decode_ms(True), 2)
+    extra["serving_decode_ms_fixed_device"] = round(decode_ms(False), 2)
     # Throughput-serving: 64 concurrent varied-length texts through the
     # same early-exit + trimmed-transfer path (wav-only outputs, shipped
     # as 16-bit PCM - what save_wav writes to disk anyway).
@@ -434,7 +458,7 @@ def _bench_serving(jax, extra: dict) -> None:
     )
 
     extra["serving_compile_counts"] = {
-        f"S{k[1]}_B{k[2]}_steps{k[3]}": v
+        f"{k[0]}_S{k[1]}_B{k[2]}_steps{k[3]}": v
         for k, v in synth.compile_counts.items()
     }
 

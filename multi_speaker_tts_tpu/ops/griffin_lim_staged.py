@@ -207,8 +207,13 @@ def _gl_staged_kernel(
         return jnp.concatenate(res, axis=-1), jnp.concatenate(ims, axis=-1)
 
     def project(re2, im2):
-        scale = mag.astype(jnp.float32) / jnp.maximum(
-            jnp.sqrt(re2 * re2 + im2 * im2 + 1e-12), 1e-11
+        # mag * rsqrt(|X|^2 + 1e-12): identical to the dense kernel's
+        # mag / max(sqrt(.), 1e-11) - the clamp can never bind (the +1e-12
+        # floor already bounds sqrt >= 1e-6) - but rsqrt is a single fast
+        # VPU op where sqrt-then-divide is two slow ones, and this runs
+        # over (T, 640) f32 every iteration.
+        scale = mag.astype(jnp.float32) * jax.lax.rsqrt(
+            re2 * re2 + im2 * im2 + 1e-12
         )
         return re2 * scale, im2 * scale
 

@@ -436,6 +436,28 @@ def _bench_serving(jax, extra: dict) -> None:
 
     extra["serving_decode_ms_early_exit_device"] = round(decode_ms(True), 2)
     extra["serving_decode_ms_fixed_device"] = round(decode_ms(False), 2)
+
+    # Streaming synthesis: time-to-first-audio and chunk cadence
+    # (constant in utterance length; see Synthesizer.stream).
+    _stage("serving bench: streaming TTFA")
+    stream_texts = texts[:2]
+    list(synth.stream(stream_texts, spk))  # compile + warm
+    ttfa, cadence = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        marks = []
+        for _c in synth.stream(stream_texts, spk):
+            marks.append(time.perf_counter() - t0)
+        ttfa.append(marks[0])
+        if len(marks) > 1:
+            cadence.append(np.diff(marks).mean())
+        chunk_audio_s = _c["wav_chunk"].shape[1] / sr
+    extra["serving_stream_ttfa_ms"] = round(float(np.median(ttfa)) * 1e3, 1)
+    if cadence:
+        extra["serving_stream_chunk_interval_ms"] = round(
+            float(np.median(cadence)) * 1e3, 1
+        )
+    extra["serving_stream_chunk_audio_ms"] = round(chunk_audio_s * 1e3, 1)
     # Throughput-serving: 64 concurrent varied-length texts through the
     # same early-exit + trimmed-transfer path (wav-only outputs, shipped
     # as 16-bit PCM - what save_wav writes to disk anyway).

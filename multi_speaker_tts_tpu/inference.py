@@ -116,6 +116,7 @@ class Synthesizer:
         self._infer_cache: dict = {}
         self._trim_cache: dict = {}
         self._vocode_cache: dict = {}
+        self._stream_cache: dict = {}
         self._embed_cache: dict = {}
         # Serving observability: how many distinct programs were compiled,
         # keyed by (S, Bp, max_steps, ...) bucket shape (VERDICT r2 item 7).
@@ -309,50 +310,10 @@ class Synthesizer:
         the padded rows' microseconds of compute. Every op in the pipeline
         is row-independent (BN runs on eval stats), so padding cannot change
         the real rows."""
-        hp = self.hp
-        sequences = [text_frontend.encode_text(t, hp) for t in texts]
-        B = len(sequences)
-        Bp = B
-        if pad_batch:
-            Bp = 1 << max(0, (B - 1).bit_length())  # next pow2 >= B
-            if sharded and self.mesh is not None:
-                Bp = _round_up(Bp, self.mesh.devices.size)
-        if max_steps is None:
-            per_token = int(hp.Decoder.get("Max_Frames_Per_Token", 12))
-            est = max(len(s) for s in sequences) * per_token
-            max_steps = _decode_bucket(est, hp.Decoder.Max_Step)
-        S = _round_up(max(len(s) for s in sequences), 16)
-        tokens = np.full((Bp, S), PAD_ID, np.int32)
-        # Pad rows decode one token of padding; their outputs are discarded.
-        lengths = np.ones((Bp,), np.int32)
-        for i, s in enumerate(sequences):
-            tokens[i, : len(s)] = s
-            lengths[i] = len(s)
-
-        if speaker_ids is not None:
-            speaker_embedding = self.embed_speaker_ids(speaker_ids)
-        spk = None
-        if self.models.tacotron.speaker_embedding_size:
-            if speaker_embedding is None:
-                raise ValueError("model is speaker-conditioned: pass an embedding")
-            spk = np.asarray(speaker_embedding, np.float32)
-            if spk.ndim == 1:
-                spk = np.tile(spk[None], (Bp, 1))
-            elif spk.shape[0] < Bp:  # pad rows reuse the first embedding
-                spk = np.concatenate(
-                    [spk, np.tile(spk[:1], (Bp - spk.shape[0], 1))], axis=0
-                )
-
-        if Bp > B:
-            # Serving accounting: padded rows start pre-stopped (decode
-            # length 0) but still ride the batch through encoder/postnet.
-            _log_once(
-                "pad_batch",
-                f"[serving] batch {B} padded to bucket {Bp} "
-                f"({Bp - B} pre-stopped PAD rows)",
-            )
-        active = np.zeros((Bp,), bool)
-        active[:B] = True
+        B, Bp, S, max_steps, tokens, lengths, spk, active = self._prepare(
+            texts, speaker_embedding, speaker_ids, max_steps, sharded,
+            pad_batch,
+        )
 
         split = vocode and split_vocode
         # Split mode runs a decode-only program (vocode=False); the linear
@@ -404,6 +365,311 @@ class Synthesizer:
                 item["wav"] = np.asarray(out["wav"][i, : max(T - 1, 1) * hop])
             results.append(item)
         return results
+
+    # -- streaming synthesis -------------------------------------------------
+    def stream(
+        self,
+        texts: list[str],
+        speaker_embedding: np.ndarray | None = None,
+        speaker_ids=None,
+        max_steps: int | None = None,
+        segment_steps: int = 16,
+        gl_context: int = 12,
+        pcm16: bool = False,
+    ):
+        """Streaming synthesis: yields waveform chunks as decoding
+        progresses, instead of one batch result at the end.
+
+        Decode runs in segments of ``segment_steps`` AR steps (state
+        carried ON DEVICE between jitted calls); each emitted block lags
+        one segment behind decode so the postnet/linear convolutions see
+        their full receptive field — emitted mel/linear equal the batched
+        ``synthesize`` values EXACTLY (same per-step prenet rng, same
+        masking). Vocoding runs windowed Griffin-Lim over
+        ``gl_context`` + block + ``n_fft/hop - 1`` frames; adjacent
+        windows are phase-blended with a raised-linear crossfade over the
+        window overlap, the one approximation vs batch vocoding.
+
+        Yields dicts:
+            {"wav_chunk": (B, E*hop) f32 (or int16 with ``pcm16``),
+             "frame_offset": first mel frame of this chunk,
+             "mel_lengths": (B,) decoded frames so far (final when done),
+             "done": bool}
+
+        Row b's audio ends at sample ``mel_lengths[b]*hop`` (pad region is
+        silence, matching ``synthesize``'s masked vocoder input).
+        Time-to-first-audio is two segment decodes + one windowed vocode,
+        independent of utterance length. Requires a streamable linear
+        head (``Conv`` or mel-only; CBHG's bidirectional GRU is anti-
+        causal and raises)."""
+        hp = self.hp
+        r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
+        lh = getattr(self.models.tacotron, "linear_head", None)
+        if lh is not None and lh.get("type") == "CBHG":
+            raise NotImplementedError(
+                "streaming requires a causal-window linear head: the CBHG "
+                "head's bidirectional GRU needs the full sequence "
+                "(use Linear_Head.Type: Conv, or a mel-only model)"
+            )
+        B, Bp, S, max_steps, tokens, lengths, spk, active = self._prepare(
+            texts, speaker_embedding, speaker_ids, max_steps,
+            sharded=False, pad_batch=True,
+        )
+        K = segment_steps
+        E = K * r  # frames per segment/block
+        # Pad the decode bucket to a whole number of segments.
+        steps_bucket = _round_up(max(max_steps // r, K), K)
+        n_segs = steps_bucket // K
+
+        key = ("stream", S, Bp, steps_bucket, K, gl_context, pcm16)
+        if key not in self._stream_cache:
+            self._stream_cache[key] = self._build_stream(
+                S, Bp, steps_bucket, K, gl_context, pcm16
+            )
+            self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
+        init_fn, dec0_fn, step_fn, flush_fn = self._stream_cache[key]
+
+        st = init_fn(
+            self.params, self.batch_stats, jnp.asarray(tokens),
+            jnp.asarray(lengths),
+            None if spk is None else jnp.asarray(spk),
+            jnp.asarray(active),
+        )
+        st = dec0_fn(self.params, self.batch_stats, st, self.rng)
+        for i in range(1, n_segs):
+            st, chunk, mel_block, stopped_all, mel_lengths = step_fn(
+                self.params, self.batch_stats, st, self.rng
+            )
+            yield {
+                "wav_chunk": np.asarray(jax.device_get(chunk))[:B],
+                "mel_chunk": np.asarray(jax.device_get(mel_block))[:B],
+                "frame_offset": (i - 1) * E,
+                "mel_lengths": np.asarray(jax.device_get(mel_lengths))[:B] * r,
+                "done": False,
+            }
+            if bool(jax.device_get(stopped_all)):
+                break
+        chunk, mel_block, mel_lengths, offset = flush_fn(
+            self.params, self.batch_stats, st
+        )
+        yield {
+            "wav_chunk": np.asarray(jax.device_get(chunk))[:B],
+            "mel_chunk": np.asarray(jax.device_get(mel_block))[:B],
+            "frame_offset": int(jax.device_get(offset)),
+            "mel_lengths": np.asarray(jax.device_get(mel_lengths))[:B] * r,
+            "done": True,
+        }
+
+    def _build_stream(self, S: int, Bp: int, steps_bucket: int, K: int,
+                      G: int, pcm16: bool):
+        """Compile the four streaming programs: INIT (encoder + zero
+        decode state + buffers), DECODE0 (first segment, nothing
+        emittable yet), STEP (decode one segment + emit the previous
+        block), FLUSH (emit the final block)."""
+        taco = self.models.tacotron
+        hp = self.hp
+        cfg = self.dsp_cfg
+        r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
+        E = K * r
+        bucket_frames = steps_bucket * r
+        # Conv receptive-field halos (exactness contract: an emitted
+        # frame's convs never see the window edge).
+        P = int(hp.Postnet.Conv.Stacks) * (int(hp.Postnet.Conv.Kernel_Size) // 2)
+        lh = getattr(taco, "linear_head", None)
+        if lh is None:
+            Q = 0
+        else:
+            Q = int(lh["conv_stacks"]) * (int(lh["conv_kernel_size"]) // 2)
+        Gr = cfg.n_fft // cfg.hop - 1  # right GL context frames
+        if E < Gr + Q + P:
+            raise ValueError(
+                f"segment too short for exact streaming: {K} steps = {E} "
+                f"frames < right-context need {Gr + Q + P} "
+                f"(postnet {P} + linear {Q} + vocoder {Gr} frames); "
+                f"raise segment_steps"
+            )
+        PAD_L = G + Q + P
+        PAD_R = Gr + Q + P
+        Wmel = PAD_L + E + PAD_R  # postnet input window
+        Wf = G + E + Gr  # vocoded window frames
+        stop_threshold = float(hp.Decoder.Stop_Threshold)
+
+        def init_fn(params, batch_stats, tokens, token_lengths, spk, active):
+            st = taco.apply(
+                {"params": params["tacotron"],
+                 "batch_stats": batch_stats["tacotron"]},
+                tokens, token_lengths, spk, active,
+                method=taco.infer_stream_init,
+            )
+            st["buf"] = jnp.zeros(
+                (Bp, PAD_L + bucket_frames + PAD_R, taco.mel_dim),
+                jnp.float32,
+            )
+            # Crossfade tail: the window's samples past the emitted block.
+            # A Wf-frame window vocodes hop*(Wf-1) samples, so (Gr-1)
+            # frames of overlap audio exist beyond the block.
+            st["xtail"] = jnp.zeros((Bp, max(Gr - 1, 0) * cfg.hop),
+                                    jnp.float32)
+            return st
+
+        def decode_segment(params, batch_stats, st, rng):
+            mel_seg, _, st2 = taco.apply(
+                {"params": params["tacotron"],
+                 "batch_stats": batch_stats["tacotron"]},
+                {k: st[k] for k in
+                 ("memory", "mask", "carry", "prev", "t0", "stopped",
+                  "lengths")},
+                K, stop_threshold,
+                method=taco.infer_stream_segment,
+                rngs={"prenet": rng},
+            )
+            st2["buf"] = jax.lax.dynamic_update_slice(
+                st["buf"], mel_seg, (0, PAD_L + st["t0"] * r, 0)
+            )
+            st2["xtail"] = st["xtail"]
+            return st2
+
+        def emit(params, batch_stats, st, a):
+            """Emit frames [a, a+E): postnet+linear on an exact-halo
+            window, windowed GL, crossfade against the previous window's
+            overlap. Returns (chunk, new_xtail)."""
+            win = jax.lax.dynamic_slice(
+                st["buf"], (0, a, 0), (Bp, Wmel, taco.mel_dim)
+            )  # mel frames [a - PAD_L, a + E + PAD_R) (buf index = f + PAD_L)
+            # Boundary mask: where the window leaves the real sequence
+            # array [0, bucket), batched convs see SAME-padding zeros at
+            # EVERY stage; re-applying this inside postnet/linear makes
+            # the emitted center frames equal the batched outputs exactly.
+            widx = (a - PAD_L) + jnp.arange(Wmel)[None, :]
+            bm = ((widx >= 0) & (widx < bucket_frames)).astype(jnp.float32)
+            mel_post_w, lin_w = taco.apply(
+                {"params": params["tacotron"],
+                 "batch_stats": batch_stats["tacotron"]},
+                win, bm, method=taco.stream_postnet_linear,
+            )
+            if lin_w is None:
+                # Mel-only model: filterbank pseudo-inverse, like _gl_vocode.
+                basis = jnp.asarray(
+                    np.linalg.pinv(np.asarray(cfg.mel_basis))
+                )
+                S_db = dsp.denormalize(mel_post_w, cfg.min_level_db)
+                mag_w = jnp.maximum(
+                    dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
+                )
+            else:
+                S_db = dsp.denormalize(lin_w, cfg.min_level_db)
+                mag_w = dsp.db_to_amp(S_db + cfg.ref_level_db)
+            # Exact region for the vocoder: frames [a - G, a + E + Gr)
+            # (conv outputs inside the halo are window-edge-polluted).
+            mag = mag_w[:, (Q + P):(Q + P) + Wf]
+            # Mask like the batched vocoder input: frames beyond a row's
+            # decoded length (and the left pad before frame 0) are forced
+            # to the normalized floor = silence.
+            fidx = (a - G) + jnp.arange(Wf)[None, :]
+            valid = (fidx >= 0) & (fidx < (st["lengths"] * r)[:, None])
+            floor = dsp.db_to_amp(
+                dsp.denormalize(jnp.zeros(()), cfg.min_level_db)
+                + cfg.ref_level_db
+            )
+            mag = jnp.where(valid[..., None], mag, floor)
+            wav_win = stft_matmul.griffin_lim_auto(
+                mag**cfg.power, cfg.n_fft, cfg.hop,
+                cfg.griffin_lim_iter, cfg.hop * (Wf - 1),
+                momentum=cfg.griffin_lim_momentum,
+            )
+            wav_win = dsp.inv_preemphasis(wav_win, cfg.preemphasis)
+            chunk = wav_win[:, G * cfg.hop:(G + E) * cfg.hop]
+            xf = max(Gr - 1, 0) * cfg.hop
+            if xf > 0:
+                ramp = jnp.linspace(0.0, 1.0, xf, endpoint=False)[None, :]
+                blended = (1.0 - ramp) * st["xtail"] + ramp * chunk[:, :xf]
+                # First block has no predecessor: keep its head as-is.
+                head = jnp.where(a > 0, blended, chunk[:, :xf])
+                chunk = jnp.concatenate([head, chunk[:, xf:]], axis=-1)
+            new_xtail = wav_win[:, (G + E) * cfg.hop:(G + E) * cfg.hop + xf]
+            if pcm16:
+                chunk = jnp.clip(
+                    jnp.round(chunk * 32767.0), -32768.0, 32767.0
+                ).astype(jnp.int16)
+            # Post-postnet mel for the emitted block (exact: PAD_L >= P+Q
+            # frames of real context on the left, E >= P+Q+Gr on the
+            # right), masked like the batched mel_post output.
+            mel_block = mel_post_w[:, PAD_L:PAD_L + E]
+            bidx = a + jnp.arange(E)[None, :]
+            bvalid = bidx < (st["lengths"] * r)[:, None]
+            mel_block = mel_block * bvalid[..., None].astype(mel_block.dtype)
+            return chunk, new_xtail, mel_block
+
+        @jax.jit
+        def dec0_fn(params, batch_stats, st, rng):
+            return decode_segment(params, batch_stats, st, rng)
+
+        @jax.jit
+        def step_fn(params, batch_stats, st, rng):
+            a = st["t0"] * r - E  # previous segment's block
+            st = decode_segment(params, batch_stats, st, rng)
+            chunk, xtail, mel_block = emit(params, batch_stats, st, a)
+            st["xtail"] = xtail
+            return (st, chunk, mel_block, jnp.all(st["stopped"]),
+                    st["lengths"])
+
+        @jax.jit
+        def flush_fn(params, batch_stats, st):
+            a = st["t0"] * r - E  # final decoded block
+            chunk, _, mel_block = emit(params, batch_stats, st, a)
+            return chunk, mel_block, st["lengths"], a
+
+        return jax.jit(init_fn), dec0_fn, step_fn, flush_fn
+
+    def _prepare(self, texts, speaker_embedding, speaker_ids, max_steps,
+                 sharded, pad_batch):
+        """Shared request prep: encode texts, pick the pow2 decode/batch
+        buckets, tile the speaker embedding, mark PAD rows."""
+        hp = self.hp
+        sequences = [text_frontend.encode_text(t, hp) for t in texts]
+        B = len(sequences)
+        Bp = B
+        if pad_batch:
+            Bp = 1 << max(0, (B - 1).bit_length())  # next pow2 >= B
+            if sharded and self.mesh is not None:
+                Bp = _round_up(Bp, self.mesh.devices.size)
+        if max_steps is None:
+            per_token = int(hp.Decoder.get("Max_Frames_Per_Token", 12))
+            est = max(len(s) for s in sequences) * per_token
+            max_steps = _decode_bucket(est, hp.Decoder.Max_Step)
+        S = _round_up(max(len(s) for s in sequences), 16)
+        tokens = np.full((Bp, S), PAD_ID, np.int32)
+        # Pad rows decode one token of padding; their outputs are discarded.
+        lengths = np.ones((Bp,), np.int32)
+        for i, s in enumerate(sequences):
+            tokens[i, : len(s)] = s
+            lengths[i] = len(s)
+
+        if speaker_ids is not None:
+            speaker_embedding = self.embed_speaker_ids(speaker_ids)
+        spk = None
+        if self.models.tacotron.speaker_embedding_size:
+            if speaker_embedding is None:
+                raise ValueError("model is speaker-conditioned: pass an embedding")
+            spk = np.asarray(speaker_embedding, np.float32)
+            if spk.ndim == 1:
+                spk = np.tile(spk[None], (Bp, 1))
+            elif spk.shape[0] < Bp:  # pad rows reuse the first embedding
+                spk = np.concatenate(
+                    [spk, np.tile(spk[:1], (Bp - spk.shape[0], 1))], axis=0
+                )
+
+        if Bp > B:
+            # Serving accounting: padded rows start pre-stopped (decode
+            # length 0) but still ride the batch through encoder/postnet.
+            _log_once(
+                "pad_batch",
+                f"[serving] batch {B} padded to bucket {Bp} "
+                f"({Bp - B} pre-stopped PAD rows)",
+            )
+        active = np.zeros((Bp,), bool)
+        active[:B] = True
+        return B, Bp, S, max_steps, tokens, lengths, spk, active
 
     def _trimmed_device_get(self, out: dict, key, max_steps: int) -> dict:
         """Fetch infer outputs to host, first slicing every time-axis array

@@ -150,13 +150,22 @@ class Decoder(nn.Module):
         max_steps: int | None = None,  # decode steps when AR
         stop_threshold: float | None = None,  # AR early exit when given
         stopped_init: jax.Array | None = None,  # (B,) rows pre-stopped (PAD)
+        segment: dict | str | None = None,  # streaming: "init" or state dict
     ):
         """Returns (mel_pre (B, T, mel), stop_logits (B, T_dec),
         align (B, T_dec, S), lengths_steps (B,) or None).
 
         ``lengths_steps`` is produced by the early-exit AR path (the loop
         knows when each utterance stopped); the scan paths return None and
-        callers derive lengths from the stop logits."""
+        callers derive lengths from the stop logits.
+
+        ``segment`` drives STREAMING synthesis: ``"init"`` returns the
+        zero decode state ``(carry, prev)``; a dict
+        ``{carry, prev, t0, stopped, lengths, n_steps, stop_threshold}``
+        runs ``n_steps`` AR steps from that state via
+        ``ops.decoder_scan.decoder_ar_segment`` and returns
+        ``(mel_seg (B, n_steps*r, mel), stops, aligns, state')``. Params
+        are created before the branch, so every mode shares one tree."""
         B = memory.shape[0]
         r = self.n_frames_per_step
         keys = nn.Dense(self.attention_size, use_bias=False, name="memory_layer")(
@@ -191,6 +200,40 @@ class Decoder(nn.Module):
 
         mem_f32 = memory.astype(jnp.float32)
         mask_f32 = memory_mask.astype(jnp.float32)
+
+        if segment is not None:
+            if isinstance(segment, str):  # "init": zero decode state
+                carry0 = dscan.initial_carry(
+                    B, mem_f32, self.lstm_stacks, self.lstm_size
+                )
+                return carry0, jnp.zeros((B, self.mel_dim), jnp.float32)
+            rng = self.make_rng("prenet")
+
+            def prenet_fn_s(frame, rngkey):
+                return prenet_apply(
+                    prenet_ws, frame, self.prenet_dropout, rngkey
+                )
+
+            def project_fn_s(x):
+                frames = jnp.dot(x, frame_w[0]) + frame_w[1]
+                stop_logit = (jnp.dot(x, stop_w[0]) + stop_w[1])[..., 0]
+                return frames, stop_logit
+
+            K = max_steps  # steps THIS segment (static)
+            carry, prev, stopped, lengths, f_k, s_k, w_k = (
+                dscan.decoder_ar_segment(
+                    cellp, prenet_fn_s, project_fn_s, keys, mem_f32,
+                    mask_f32, segment["carry"], segment["prev"],
+                    segment["t0"], segment["stopped"], segment["lengths"],
+                    K, stop_threshold, rng, self.mel_dim,
+                    self.compute_dtype, self.scan_unroll,
+                )
+            )
+            mel_seg = jnp.swapaxes(f_k, 0, 1).reshape(B, K * r, self.mel_dim)
+            return mel_seg, jnp.swapaxes(s_k, 0, 1), jnp.swapaxes(w_k, 0, 1), {
+                "carry": carry, "prev": prev, "stopped": stopped,
+                "lengths": lengths,
+            }
 
         if teacher_mels is not None:
             T = teacher_mels.shape[1]
@@ -273,9 +316,18 @@ class Postnet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, mel: jax.Array, train: bool = False,
+                 boundary_mask: jax.Array | None = None) -> jax.Array:
+        """``boundary_mask`` (B, T): 1 inside the real sequence array,
+        0 on positions that in batched mode lie OUTSIDE the array (where
+        SAME padding supplies zeros). The streaming emitter's windows
+        extend past the array edges with computed 'virtual' frames, so
+        the mask is re-applied before every conv stage to reproduce the
+        batched zero-padding cascade exactly."""
         x = mel
         for i in range(self.conv_stacks - 1):
+            if boundary_mask is not None:
+                x = x * boundary_mask[..., None].astype(x.dtype)
             x = ConvBNBlock(
                 self.conv_channels,
                 self.conv_kernel_size,
@@ -284,6 +336,8 @@ class Postnet(nn.Module):
                 dtype=self.compute_dtype,
                 name=f"conv_{i}",
             )(x, train=train)
+        if boundary_mask is not None:
+            x = x * boundary_mask[..., None].astype(x.dtype)
         x = ConvBNBlock(
             self.mel_dim,
             self.conv_kernel_size,
@@ -309,9 +363,12 @@ class LinearHead(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, mel: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, mel: jax.Array, train: bool = False,
+                 boundary_mask: jax.Array | None = None) -> jax.Array:
         x = mel
         for i in range(self.conv_stacks):
+            if boundary_mask is not None:  # see Postnet.__call__
+                x = x * boundary_mask[..., None].astype(x.dtype)
             x = ConvBNBlock(
                 self.conv_channels,
                 self.conv_kernel_size,
@@ -526,3 +583,73 @@ class Tacotron(nn.Module):
         if self.linear_head is not None:
             out["linear"] = self.spect_head(mel_post) * frame_mask[..., None]
         return out
+
+    # -- streaming synthesis ------------------------------------------------
+    def infer_stream_init(
+        self,
+        tokens: jax.Array,
+        token_lengths: jax.Array,
+        speaker_embedding: jax.Array | None = None,
+        active_rows: jax.Array | None = None,
+    ) -> dict[str, Any]:
+        """Streaming decode state: encoder memory + zero decoder state.
+        PAD rows (inactive) start pre-stopped, exactly like ``infer``."""
+        memory, mask = self._build_memory(
+            tokens, token_lengths, speaker_embedding, False
+        )
+        carry, prev = self.frame_decoder(memory, mask, segment="init")
+        B = tokens.shape[0]
+        stopped = (
+            jnp.zeros((B,), bool) if active_rows is None
+            else ~active_rows.astype(bool)
+        )
+        return {
+            "memory": memory, "mask": mask, "carry": carry, "prev": prev,
+            "t0": jnp.zeros((), jnp.int32), "stopped": stopped,
+            "lengths": jnp.zeros((B,), jnp.int32),
+        }
+
+    def infer_stream_segment(
+        self, state: dict, n_steps_seg: int, stop_threshold: float
+    ):
+        """One decode segment of ``n_steps_seg`` AR steps from ``state``.
+
+        Returns (mel_seg (B, n_steps_seg*r, mel) — masked by decoded
+        length exactly like ``infer``'s pre-postnet masking — aligns,
+        new state). The prenet rng folds the GLOBAL step index, so a
+        streamed decode reproduces the batched one bit-for-bit given the
+        same top-level rng."""
+        mel_seg, stops, aligns, upd = self.frame_decoder(
+            state["memory"], state["mask"],
+            max_steps=n_steps_seg, stop_threshold=stop_threshold,
+            segment={"carry": state["carry"], "prev": state["prev"],
+                     "t0": state["t0"], "stopped": state["stopped"],
+                     "lengths": state["lengths"]},
+        )
+        r = self.decoder["n_frames_per_step"] if self.decoder else 1
+        # stopped is monotonic, so a step is valid iff its global index is
+        # below the decoded length — the same prefix mask the batched
+        # paths apply before the postnet.
+        step_idx = state["t0"] + jnp.arange(n_steps_seg)[None, :]
+        valid = (step_idx < upd["lengths"][:, None]).astype(mel_seg.dtype)
+        frame_mask = jnp.repeat(valid, r, axis=1)
+        mel_seg = mel_seg * frame_mask[..., None]
+        new_state = dict(state)
+        new_state.update(upd)
+        new_state["t0"] = state["t0"] + jnp.int32(n_steps_seg)
+        return mel_seg, aligns, new_state
+
+    def stream_postnet_linear(self, mel_window: jax.Array,
+                              boundary_mask: jax.Array | None = None):
+        """Postnet + linear head over a WINDOWED mel segment (the
+        streaming emitter supplies explicit conv halos plus a boundary
+        mask marking where the window leaves the real sequence array, so
+        the window's center frames equal the batched ``infer`` outputs
+        exactly). Returns (mel_post_window, linear_window or None)."""
+        residual = self.mel_postnet(mel_window, boundary_mask=boundary_mask)
+        mel_post = mel_window + residual
+        linear = (
+            self.spect_head(mel_post, boundary_mask=boundary_mask)
+            if self.linear_head is not None else None
+        )
+        return mel_post, linear

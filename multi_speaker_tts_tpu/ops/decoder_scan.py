@@ -540,6 +540,54 @@ def decoder_ar_early_exit(
         _, _, t, stopped, _, _ = state
         return (t < n_steps) & ~jnp.all(stopped)
 
+    def body_fn(state):
+        carry, prev, t, stopped, lengths, (mel_b, stop_b, align_b) = state
+        carry, prev, stopped, lengths, f_k, s_k, w_k = decoder_ar_segment(
+            p, prenet_apply_fn, project_fn, keys, memory, mask,
+            carry, prev, t, stopped, lengths, K, stop_threshold, rng,
+            mel_dim, compute_dtype, unroll,
+        )
+        mel_b = jax.lax.dynamic_update_slice(mel_b, f_k, (t, 0, 0))
+        stop_b = jax.lax.dynamic_update_slice(stop_b, s_k, (t, 0))
+        align_b = jax.lax.dynamic_update_slice(align_b, w_k, (t, 0, 0))
+        return (carry, prev, t + K, stopped, lengths,
+                (mel_b, stop_b, align_b))
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+    _, _, _, _, lengths_steps, (frames, stops, aligns) = final
+    return frames, stops, aligns, lengths_steps
+
+
+def decoder_ar_segment(
+    p: DecoderScanParams,
+    prenet_apply_fn,
+    project_fn,
+    keys: jax.Array,
+    memory: jax.Array,
+    mask: jax.Array,
+    carry: DecoderScanCarry,
+    prev: jax.Array,  # (B, mel) previous frame feedback
+    t0: jax.Array,  # () int32 global step index of the first step
+    stopped: jax.Array,  # (B,) bool
+    lengths: jax.Array,  # (B,) int32 decoded steps so far
+    n_steps_seg: int,
+    stop_threshold: float,
+    rng: jax.Array,
+    mel_dim: int,
+    compute_dtype=jnp.float32,
+    unroll: int = 1,
+):
+    """Run ``n_steps_seg`` AR decode steps from EXPLICIT state.
+
+    The shared per-step math of the early-exit loop (which calls this as
+    its chunk body) and the streaming-synthesis API (which carries the
+    returned state across separate jitted program invocations). The
+    prenet rng is ``fold_in(rng, global_step)``, so a streamed decode
+    reproduces the batched early-exit decode bit-for-bit given the same
+    top-level rng. Returns
+    ``(carry, prev, stopped, lengths, frames (K, B, mel*r),
+    stop_logits (K, B), aligns (K, B, S))``."""
+
     def inner_step(s, i):
         carry, prev, t, stopped, lengths = s
         pre_t = prenet_apply_fn(prev, jax.random.fold_in(rng, t))
@@ -556,18 +604,9 @@ def decoder_ar_early_exit(
             (frames, stop_logit, w),
         )
 
-    def body_fn(state):
-        carry, prev, t, stopped, lengths, (mel_b, stop_b, align_b) = state
-        (carry, prev, _, stopped, lengths), (f_k, s_k, w_k) = jax.lax.scan(
-            inner_step, (carry, prev, t, stopped, lengths), jnp.arange(K),
-            unroll=min(max(unroll, 1), K),
-        )
-        mel_b = jax.lax.dynamic_update_slice(mel_b, f_k, (t, 0, 0))
-        stop_b = jax.lax.dynamic_update_slice(stop_b, s_k, (t, 0))
-        align_b = jax.lax.dynamic_update_slice(align_b, w_k, (t, 0, 0))
-        return (carry, prev, t + K, stopped, lengths,
-                (mel_b, stop_b, align_b))
-
-    final = jax.lax.while_loop(cond_fn, body_fn, init)
-    _, _, _, _, lengths_steps, (frames, stops, aligns) = final
-    return frames, stops, aligns, lengths_steps
+    (carry, prev, _, stopped, lengths), (f_k, s_k, w_k) = jax.lax.scan(
+        inner_step, (carry, prev, t0, stopped, lengths),
+        jnp.arange(n_steps_seg),
+        unroll=min(max(unroll, 1), n_steps_seg),
+    )
+    return carry, prev, stopped, lengths, f_k, s_k, w_k

@@ -809,6 +809,10 @@ def main() -> None:
                         help="speaker index for LUT models")
     parser.add_argument("-out", default="./inference")
     parser.add_argument("-max_steps", type=int, default=None)
+    parser.add_argument("-stream", action="store_true",
+                        help="stream chunks to <out>/utt_<i>.wav as they "
+                             "decode (Synthesizer.stream); prints per-chunk "
+                             "timing instead of alignments")
     args = parser.parse_args()
 
     texts = list(args.text)
@@ -840,13 +844,38 @@ def main() -> None:
         parser.error("this model uses a speaker lookup table: pass -speaker_id")
     synth = synth0 or Synthesizer.from_checkpoint(args.checkpoint, hp)
     spk = synth.enroll(args.ref) if args.ref else None
+
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.stream:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        parts, lengths = [], None
+        for chunk in synth.stream(
+            texts, spk, max_steps=args.max_steps,
+            speaker_ids=(None if args.speaker_id is None
+                         else [args.speaker_id] * len(texts)),
+        ):
+            parts.append(chunk["wav_chunk"])
+            lengths = chunk["mel_lengths"]
+            print(f"chunk at {(_time.perf_counter() - t0) * 1e3:7.1f} ms: "
+                  f"frames {chunk['frame_offset']}.."
+                  f"{chunk['frame_offset'] + chunk['wav_chunk'].shape[1] // hp.Sound.Frame_Shift}")
+        wav = np.concatenate(parts, axis=1)
+        for i in range(len(texts)):
+            n = max(int(lengths[i]) - 1, 1) * hp.Sound.Frame_Shift
+            wav_io.save_wav(out_dir / f"utt_{i}.wav", wav[i, :n],
+                            hp.Sound.Sample_Rate)
+            print(f"wrote {out_dir}/utt_{i}.wav ({int(lengths[i])} frames, "
+                  f"streamed)")
+        return
+
     results = synth.synthesize(
         texts, spk, max_steps=args.max_steps,
         speaker_ids=None if args.speaker_id is None else [args.speaker_id] * len(texts),
     )
 
-    out_dir = pathlib.Path(args.out)
-    out_dir.mkdir(parents=True, exist_ok=True)
     for i, item in enumerate(results):
         wav_io.save_wav(out_dir / f"utt_{i}.wav", item["wav"], hp.Sound.Sample_Rate)
         np.save(out_dir / f"utt_{i}_mel.npy", item["mel"])

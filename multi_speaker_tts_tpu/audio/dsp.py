@@ -217,11 +217,17 @@ def melspectrogram(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
 
 
 _DISPATCH_LOGGED: set = set()
+# Most recent choice per op, ALWAYS updated (logging is once per choice):
+# lets tools assert which branch a call actually dispatched to instead of
+# trusting a host-side reconstruction (a vacuous "chunked parity" check
+# slipped through in round 3 because both sides silently ran GEMM).
+LAST_DISPATCH: dict = {}
 
 
 def _log_dispatch(op: str, chosen: str, why: str) -> None:
     """One line per (op, choice) per process: silent fallbacks hid a 128-
     aligned-hop-only kernel in round 1 (VERDICT item 7)."""
+    LAST_DISPATCH[op] = chosen
     key = (op, chosen)
     if key not in _DISPATCH_LOGGED:
         _DISPATCH_LOGGED.add(key)

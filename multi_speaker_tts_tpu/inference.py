@@ -53,22 +53,28 @@ def _decode_bucket(estimate: int, max_step: int, floor: int = 64) -> int:
     return min(bucket, max_step)
 
 
+def _gl_magnitude(linear: jax.Array | None, mel_post: jax.Array,
+                  cfg) -> jax.Array:
+    """Normalized linear spectrogram (or, for mel-only models, the mel
+    via the filterbank pseudo-inverse) -> linear magnitude for
+    Griffin-Lim. Shared by the fused/split vocode programs and the
+    streaming emitter so the conversion cannot drift between paths."""
+    if linear is None:
+        basis = jnp.asarray(np.linalg.pinv(np.asarray(cfg.mel_basis)))
+        S_db = dsp.denormalize(mel_post, cfg.min_level_db)
+        return jnp.maximum(
+            dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
+        )
+    S_db = dsp.denormalize(linear, cfg.min_level_db)
+    return dsp.db_to_amp(S_db + cfg.ref_level_db)
+
+
 def _gl_vocode(out: dict, cfg, pcm16: bool) -> jax.Array:
     """Linear (or mel-only) decoder outputs -> waveform, fully on device:
     denormalize, Griffin-Lim (Pallas/GEMM dispatch), inverse preemphasis,
     optional on-device 16-bit PCM conversion. Shared by the fused infer
     program and the bucketed split-vocode program."""
-    spec = out.get("linear")
-    if spec is None:
-        # Mel-only model: invert mel with the filterbank pseudo-inverse.
-        basis = jnp.asarray(np.linalg.pinv(np.asarray(cfg.mel_basis)))
-        S_db = dsp.denormalize(out["mel_post"], cfg.min_level_db)
-        mag = jnp.maximum(
-            dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
-        )
-    else:
-        S_db = dsp.denormalize(spec, cfg.min_level_db)
-        mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
+    mag = _gl_magnitude(out.get("linear"), out["mel_post"], cfg)
     length = cfg.hop * (mag.shape[-2] - 1)
     if cfg.n_fft % cfg.hop == 0:
         # Pallas VMEM-resident GL on TPU, GEMM GL otherwise.
@@ -376,6 +382,7 @@ class Synthesizer:
         segment_steps: int = 16,
         gl_context: int = 12,
         pcm16: bool = False,
+        return_mel: bool = False,
     ):
         """Streaming synthesis: yields waveform chunks as decoding
         progresses, instead of one batch result at the end.
@@ -417,14 +424,18 @@ class Synthesizer:
         )
         K = segment_steps
         E = K * r  # frames per segment/block
-        # Pad the decode bucket to a whole number of segments.
-        steps_bucket = _round_up(max(max_steps // r, K), K)
+        # Pad the decode bucket to a whole number of segments; decoded
+        # lengths stay capped at the caller's max_steps budget (matching
+        # the batched infer at the same cap).
+        cap_steps = max(max_steps // r, 1)
+        steps_bucket = _round_up(max(cap_steps, K), K)
         n_segs = steps_bucket // K
 
-        key = ("stream", S, Bp, steps_bucket, K, gl_context, pcm16)
+        key = ("stream", S, Bp, steps_bucket, K, cap_steps, gl_context,
+               pcm16)
         if key not in self._stream_cache:
             self._stream_cache[key] = self._build_stream(
-                S, Bp, steps_bucket, K, gl_context, pcm16
+                S, Bp, steps_bucket, K, cap_steps, gl_context, pcm16
             )
             self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
         init_fn, dec0_fn, step_fn, flush_fn = self._stream_cache[key]
@@ -436,32 +447,43 @@ class Synthesizer:
             jnp.asarray(active),
         )
         st = dec0_fn(self.params, self.batch_stats, st, self.rng)
+
+        def fetched(chunk, mel_block, lens, *rest):
+            # ONE host round trip per chunk; the mel block stays on
+            # device unless asked for (it is the larger transfer).
+            parts = (chunk, lens) + rest
+            if return_mel:
+                parts = (chunk, lens, mel_block) + rest
+            got = jax.device_get(parts)
+            item = {
+                "wav_chunk": np.asarray(got[0])[:B],
+                "mel_lengths": np.asarray(got[1])[:B] * r,
+            }
+            if return_mel:
+                item["mel_chunk"] = np.asarray(got[2])[:B]
+            return item, got[-1] if rest else None
+
         for i in range(1, n_segs):
             st, chunk, mel_block, stopped_all, mel_lengths = step_fn(
                 self.params, self.batch_stats, st, self.rng
             )
-            yield {
-                "wav_chunk": np.asarray(jax.device_get(chunk))[:B],
-                "mel_chunk": np.asarray(jax.device_get(mel_block))[:B],
-                "frame_offset": (i - 1) * E,
-                "mel_lengths": np.asarray(jax.device_get(mel_lengths))[:B] * r,
-                "done": False,
-            }
-            if bool(jax.device_get(stopped_all)):
+            item, stop_flag = fetched(chunk, mel_block, mel_lengths,
+                                      stopped_all)
+            item["frame_offset"] = (i - 1) * E
+            item["done"] = False
+            yield item
+            if bool(stop_flag):
                 break
         chunk, mel_block, mel_lengths, offset = flush_fn(
             self.params, self.batch_stats, st
         )
-        yield {
-            "wav_chunk": np.asarray(jax.device_get(chunk))[:B],
-            "mel_chunk": np.asarray(jax.device_get(mel_block))[:B],
-            "frame_offset": int(jax.device_get(offset)),
-            "mel_lengths": np.asarray(jax.device_get(mel_lengths))[:B] * r,
-            "done": True,
-        }
+        item, offset_val = fetched(chunk, mel_block, mel_lengths, offset)
+        item["frame_offset"] = int(offset_val)
+        item["done"] = True
+        yield item
 
     def _build_stream(self, S: int, Bp: int, steps_bucket: int, K: int,
-                      G: int, pcm16: bool):
+                      cap_steps: int, G: int, pcm16: bool):
         """Compile the four streaming programs: INIT (encoder + zero
         decode state + buffers), DECODE0 (first segment, nothing
         emittable yet), STEP (decode one segment + emit the previous
@@ -519,7 +541,7 @@ class Synthesizer:
                 {k: st[k] for k in
                  ("memory", "mask", "carry", "prev", "t0", "stopped",
                   "lengths")},
-                K, stop_threshold,
+                K, stop_threshold, cap_steps,
                 method=taco.infer_stream_segment,
                 rngs={"prenet": rng},
             )
@@ -547,18 +569,7 @@ class Synthesizer:
                  "batch_stats": batch_stats["tacotron"]},
                 win, bm, method=taco.stream_postnet_linear,
             )
-            if lin_w is None:
-                # Mel-only model: filterbank pseudo-inverse, like _gl_vocode.
-                basis = jnp.asarray(
-                    np.linalg.pinv(np.asarray(cfg.mel_basis))
-                )
-                S_db = dsp.denormalize(mel_post_w, cfg.min_level_db)
-                mag_w = jnp.maximum(
-                    dsp.db_to_amp(S_db + cfg.ref_level_db) @ basis.T, 0.0
-                )
-            else:
-                S_db = dsp.denormalize(lin_w, cfg.min_level_db)
-                mag_w = dsp.db_to_amp(S_db + cfg.ref_level_db)
+            mag_w = _gl_magnitude(lin_w, mel_post_w, cfg)
             # Exact region for the vocoder: frames [a - G, a + E + Gr)
             # (conv outputs inside the halo are window-edge-polluted).
             mag = mag_w[:, (Q + P):(Q + P) + Wf]
@@ -621,6 +632,15 @@ class Synthesizer:
 
         return jax.jit(init_fn), dec0_fn, step_fn, flush_fn
 
+    def _decoded_bucket(self, out: dict, max_steps: int) -> tuple[int, int]:
+        """Shared trim/vocode prologue: the tiny ``mel_lengths`` fetch and
+        the pow2 bucket of the batch's longest decoded length (clamped to
+        the decode bucket by ``_decode_bucket`` itself). Returns (Tb, r)."""
+        mel_lengths = np.asarray(jax.device_get(out["mel_lengths"]))
+        r = int(self.hp.Decoder.get("N_Frames_Per_Step", 1))
+        T_max = max(int(mel_lengths.max()), r)
+        return _decode_bucket(T_max, max_steps), r
+
     def _prepare(self, texts, speaker_embedding, speaker_ids, max_steps,
                  sharded, pad_batch):
         """Shared request prep: encode texts, pick the pow2 decode/batch
@@ -680,10 +700,7 @@ class Synthesizer:
         serving cost on a remote-TPU link). Costs one tiny mel_lengths
         fetch; the slicer is a trivial jitted program cached per
         (infer key, out bucket)."""
-        mel_lengths = np.asarray(jax.device_get(out["mel_lengths"]))
-        r = int(self.hp.Decoder.get("N_Frames_Per_Step", 1))
-        T_max = max(int(mel_lengths.max()), r)
-        Tb = min(_decode_bucket(T_max, max_steps), max_steps)
+        Tb, r = self._decoded_bucket(out, max_steps)
         if Tb >= max_steps:
             return jax.device_get(out)
         tkey = (key, Tb)
@@ -715,10 +732,7 @@ class Synthesizer:
         time-axis array to Tb AND Griffin-Lims the sliced spectrogram -
         vocoding scales with decoded speech length, not the decode
         bucket. Cached per (infer key, Tb, outputs)."""
-        mel_lengths = np.asarray(jax.device_get(out["mel_lengths"]))
-        r = int(self.hp.Decoder.get("N_Frames_Per_Step", 1))
-        T_max = max(int(mel_lengths.max()), r)
-        Tb = min(_decode_bucket(T_max, max_steps), max_steps)
+        Tb, r = self._decoded_bucket(out, max_steps)
         vkey = ("vocode", key[1], key[2], Tb, return_linear, pcm16, sharded)
         if vkey not in self._vocode_cache:
             steps = max(-(-Tb // r), 1)

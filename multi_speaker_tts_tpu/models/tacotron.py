@@ -610,7 +610,8 @@ class Tacotron(nn.Module):
         }
 
     def infer_stream_segment(
-        self, state: dict, n_steps_seg: int, stop_threshold: float
+        self, state: dict, n_steps_seg: int, stop_threshold: float,
+        max_decode_steps: int | None = None,
     ):
         """One decode segment of ``n_steps_seg`` AR steps from ``state``.
 
@@ -618,7 +619,11 @@ class Tacotron(nn.Module):
         length exactly like ``infer``'s pre-postnet masking — aligns,
         new state). The prenet rng folds the GLOBAL step index, so a
         streamed decode reproduces the batched one bit-for-bit given the
-        same top-level rng."""
+        same top-level rng. ``max_decode_steps`` caps decoded lengths at
+        the caller's budget (the streaming decode bucket rounds up to
+        whole segments, so without the cap a never-stopping row would
+        report more frames than the batched ``infer`` at the same
+        ``max_steps``)."""
         mel_seg, stops, aligns, upd = self.frame_decoder(
             state["memory"], state["mask"],
             max_steps=n_steps_seg, stop_threshold=stop_threshold,
@@ -627,6 +632,11 @@ class Tacotron(nn.Module):
                      "lengths": state["lengths"]},
         )
         r = self.decoder["n_frames_per_step"] if self.decoder else 1
+        if max_decode_steps is not None:
+            upd["lengths"] = jnp.minimum(upd["lengths"], max_decode_steps)
+            upd["stopped"] = upd["stopped"] | (
+                state["t0"] + n_steps_seg >= max_decode_steps
+            )
         # stopped is monotonic, so a step is valid iff its global index is
         # below the decoded length — the same prefix mask the batched
         # paths apply before the postnet.

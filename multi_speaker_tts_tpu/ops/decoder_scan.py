@@ -532,9 +532,11 @@ def decoder_ar_early_exit(
     )
 
     # Largest divisor of n_steps <= the requested chunk (decode buckets are
-    # pow2-flavored, so this is almost always `chunk` itself; worst case
-    # falls back to 1 = the classic one-step loop).
-    K = max(k for k in range(1, min(chunk, n_steps) + 1) if n_steps % k == 0)
+    # pow2-flavored, so this is almost always `chunk` itself; worst case —
+    # including a misconfigured chunk <= 0 — falls back to 1 = the classic
+    # one-step loop).
+    K = max((k for k in range(1, min(chunk, n_steps) + 1)
+             if n_steps % k == 0), default=1)
 
     def cond_fn(state):
         _, _, t, stopped, _, _ = state

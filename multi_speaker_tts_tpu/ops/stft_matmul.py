@@ -207,39 +207,42 @@ def griffin_lim_auto(
         and jax.default_backend() == "tpu"
     )
     if eligible:
-        max_b = _pallas_gl_max_batch(T, n_fft, hop, momentum)
-        if max_b >= min(B, 8):
-            from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
-            from multi_speaker_tts_tpu.ops.griffin_lim_kernel import (
-                griffin_lim_pallas,
-            )
+        from multi_speaker_tts_tpu.audio.dsp import _log_dispatch
+        from multi_speaker_tts_tpu.ops.griffin_lim_kernel import (
+            griffin_lim_pallas,
+        )
 
-            # The staged (8-leaf) kernel factors the DFT GEMMs down to
-            # 1/4 of the dense kernel's MXU units (B=96/T=400 plain-60:
-            # 58.9 -> 25.1 ms with the butterfly combines) and stores
-            # magnitudes in bf16, so its scoped-VMEM cap is HIGHER than
-            # the dense kernel's (T=1000 rows fit to B~112 where dense
-            # manages 18). It is specialized to n_fft=1024 (the
-            # production config); other sizes keep the dense kernel.
-            kernel_fn = griffin_lim_pallas
-            kind = "pallas"
-            if n_fft == 1024 and not os.environ.get("GL_DENSE_KERNEL"):
-                max_b_staged = _pallas_gl_max_batch(
-                    T, n_fft, hop, momentum, staged=True
+        # Pick the kernel with the HIGHER scoped-VMEM cap, THEN decide
+        # eligibility. The staged (8-leaf) kernel factors the DFT GEMMs
+        # down to 1/4 of the dense kernel's MXU units (B=96/T=400
+        # plain-60: 58.9 -> 25.1 ms with the butterfly combines) and
+        # stores magnitudes in bf16, so its cap is usually the higher
+        # one (T=1000 rows fit to B~112 where dense manages 18; dense
+        # momentum at T=1000 fits NOTHING while staged fits 37) - gating
+        # on the dense cap first would skip Pallas exactly where the
+        # staged kernel is the only one that fits. Staged is specialized
+        # to n_fft=1024 (the production config); other sizes keep dense.
+        max_b = _pallas_gl_max_batch(T, n_fft, hop, momentum)
+        kernel_fn = griffin_lim_pallas
+        kind = "pallas"
+        if n_fft == 1024 and not os.environ.get("GL_DENSE_KERNEL"):
+            max_b_staged = _pallas_gl_max_batch(
+                T, n_fft, hop, momentum, staged=True
+            )
+            if max_b_staged > max_b:
+                from multi_speaker_tts_tpu.ops.griffin_lim_staged import (
+                    griffin_lim_staged,
                 )
-                if max_b_staged >= min(B, 8):
-                    from multi_speaker_tts_tpu.ops.griffin_lim_staged import (
-                        griffin_lim_staged,
+
+                def kernel_fn(m, n_fft, hop, n_iter, momentum=0.0):
+                    return griffin_lim_staged(
+                        m, n_fft, hop, n_iter, momentum=momentum
                     )
 
-                    def kernel_fn(m, n_fft, hop, n_iter, momentum=0.0):
-                        return griffin_lim_staged(
-                            m, n_fft, hop, n_iter, momentum=momentum
-                        )
+                kind = "pallas_staged"
+                max_b = max_b_staged
 
-                    kind = "pallas_staged"
-                    max_b = max_b_staged
-
+        if max_b >= min(B, 8):
             if B <= max_b:
                 _log_dispatch("griffin_lim", kind,
                               f"VMEM-resident kernel, T={T}")

@@ -47,7 +47,8 @@ def setup(tiny_hp, tmp_path_factory):
 def test_stream_mel_matches_batch_exactly(setup):
     synth, spk = setup
     texts = ["hello there", "hi"]
-    chunks = list(synth.stream(texts, spk, max_steps=32, segment_steps=16))
+    chunks = list(synth.stream(texts, spk, max_steps=32, segment_steps=16,
+                             return_mel=True))
     assert chunks[-1]["done"] and all(not c["done"] for c in chunks[:-1])
     # Chunks tile the decoded frames contiguously.
     E = 16 * int(synth.hp.Decoder.get("N_Frames_Per_Step", 1))
@@ -112,3 +113,23 @@ def test_stream_segment_too_short_raises(setup):
     with pytest.raises(ValueError):
         # 4 steps < postnet+linear+vocoder right-context need.
         next(synth.stream(["hello"], spk, max_steps=32, segment_steps=4))
+
+
+def test_stream_respects_max_steps_cap(setup):
+    """The streaming decode bucket rounds up to whole segments, but
+    decoded lengths stay capped at the caller's max_steps budget -
+    matching the batched infer at the same cap (review finding)."""
+    synth, spk = setup
+    r = int(synth.hp.Decoder.get("N_Frames_Per_Step", 1))
+    # max_steps=24 with segment_steps=16 -> bucket rounds to 32 steps,
+    # but no row may report more than (24 // r) * r frames.
+    chunks = list(synth.stream(["hello there friend"], spk, max_steps=24,
+                               segment_steps=16))
+    cap_frames = (24 // r) * r
+    assert chunks[-1]["mel_lengths"].max() <= cap_frames
+
+
+def test_stream_mel_not_fetched_by_default(setup):
+    synth, spk = setup
+    chunks = list(synth.stream(["hi"], spk, max_steps=32, segment_steps=16))
+    assert all("mel_chunk" not in c for c in chunks)

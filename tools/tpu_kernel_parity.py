@@ -176,17 +176,23 @@ def main() -> None:
     wav_ck = np.asarray(jax.device_get(jax.jit(
         lambda m: griffin_lim_auto(m, cfg.n_fft, cfg.hop, 30, length_l)
     )(jnp.asarray(mag_l))))
+    # The dispatcher records its choice at trace time: assert the branch
+    # this check claims to cover actually ran (a host-side reconstruction
+    # of the chunk plan once recorded a vacuous "pass" while both sides
+    # silently dispatched to GEMM).
+    disp_resident = dsp.LAST_DISPATCH.get("griffin_lim")
     wav_mm_l = np.asarray(jax.device_get(jax.jit(
         lambda m: griffin_lim_matmul(m, cfg.n_fft, cfg.hop, 30, length_l)
     )(jnp.asarray(mag_l))))
     sc_ck, sc_mm_l = sc_of(wav_ck, mag_l, T_long), sc_of(wav_mm_l, mag_l, T_long)
     results["checks"]["griffin_lim_staged_resident_T1000"] = {
         "batch": B_long, "staged_cap": max_b_staged,
+        "dispatched": disp_resident,
         "spectral_convergence_pallas": sc_ck,
         "spectral_convergence_gemm": sc_mm_l,
         "rel_gap": abs(sc_ck - sc_mm_l) / max(sc_mm_l, 1e-9),
         "tolerance_rel_gap": 0.05,
-        "pass": (max_b_staged >= B_long)
+        "pass": (disp_resident == "pallas_staged")
         and abs(sc_ck - sc_mm_l) / max(sc_mm_l, 1e-9) <= 0.05,
     }
 
@@ -203,6 +209,7 @@ def main() -> None:
         lambda m: griffin_lim_auto(m, cfg.n_fft, cfg.hop, 30, length_l,
                                    momentum=0.99)
     )(jnp.asarray(mag_ck))))
+    disp_chunked = dsp.LAST_DISPATCH.get("griffin_lim")
     wav_mm2 = np.asarray(jax.device_get(jax.jit(
         lambda m: griffin_lim_matmul(m, cfg.n_fft, cfg.hop, 30, length_l,
                                      momentum=0.99)
@@ -212,11 +219,13 @@ def main() -> None:
     results["checks"]["griffin_lim_staged_chunked_T1000_momentum"] = {
         "batch": B_ck, "chunks": n_chunks, "chunk": chunk,
         "pad_rows": n_chunks * chunk - B_ck,
+        "dispatched": disp_chunked,
         "spectral_convergence_pallas": sc_ck2,
         "spectral_convergence_gemm": sc_mm2,
         "rel_gap": abs(sc_ck2 - sc_mm2) / max(sc_mm2, 1e-9),
         "tolerance_rel_gap": 0.05,
-        "pass": (n_chunks > 1)
+        "pass": (disp_chunked == "pallas_staged_chunked")
+        and (n_chunks > 1)
         and abs(sc_ck2 - sc_mm2) / max(sc_mm2, 1e-9) <= 0.05,
     }
 

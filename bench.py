@@ -117,9 +117,12 @@ def main() -> None:
     # Measured batch sweep on v5e (constant workload): at r=1, B=16
     # 3,080x / B=32 4,025x / B=64 4,563x / B=128 4,604x real-time - B=64
     # was the knee. Re-swept at r=2 (half the AR steps): B=64 5,590x /
-    # B=96 5,880x / B=128 5,768x - the knee moves to 96, same as the
-    # train-side sweep (PROFILE.md).
-    BATCH = int(os.environ.get("BENCH_BATCH", "96"))
+    # B=96 5,880x / B=128 5,768x - the knee moved to 96. Re-swept AGAIN
+    # after the staged GL kernel (vocode no longer dominates, AR decode
+    # does): 96 -> 11,537x / 128 -> 12,023x / 160 -> 11,541x / 192 ->
+    # 11,320x - the knee is now 128 (decode glue amortizes further before
+    # HBM pressure wins, same shape as the train-side sweep).
+    BATCH = int(os.environ.get("BENCH_BATCH", "128"))
     MAX_STEPS = int(os.environ.get("BENCH_FRAMES", "400"))
     MAX_STEPS -= MAX_STEPS % r  # frame budget must be an r multiple
     S = 64

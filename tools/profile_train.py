@@ -40,6 +40,8 @@ def capture(out_dir: str, batch_size: int, n_steps: int, r: int | None,
     hp = default_hparams()
     if r is not None:
         hp = hp.replace(Decoder={"N_Frames_Per_Step": int(r)})
+    if synthesis:
+        return _capture_synthesis(out_dir, batch_size, n_steps, hp)
     models = trainer_lib.build_models(hp)
     B = batch_size
     rr = int(hp.Decoder.get("N_Frames_Per_Step", 1))
@@ -74,6 +76,66 @@ def capture(out_dir: str, batch_size: int, n_steps: int, r: int | None,
         for _ in range(n_steps):
             state, m = step(state, bd, key)
         float(m["total"])
+
+
+def _capture_synthesis(out_dir: str, batch_size: int, n_steps: int,
+                       hp) -> None:
+    """Trace bench.py's constant-workload synthesis path (enroll -> fixed
+    400-frame decode -> Griffin-Lim), the headline-metric program."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_speaker_tts_tpu.audio import dsp
+    from multi_speaker_tts_tpu.ops import stft_matmul
+    from multi_speaker_tts_tpu.train import trainer as trainer_lib
+
+    cfg = dsp.DSPConfig.from_hp(hp)
+    models = trainer_lib.build_models(hp)
+    r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
+    B, S = batch_size, 64
+    max_steps = 400 - (400 % r)
+    rng = np.random.default_rng(0)
+    init_batch = {
+        "tokens": rng.integers(2, 30, size=(B, S)).astype(np.int32),
+        "token_lengths": np.full((B,), S, np.int32),
+        "mels": rng.uniform(0, 1, size=(B, 12 * r, hp.Sound.Mel_Dim)).astype(
+            np.float32),
+        "ref_mels": rng.uniform(
+            0, 1,
+            size=(B, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim),
+        ).astype(np.float32),
+    }
+    state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), init_batch)
+
+    @jax.jit
+    def synthesize(params, batch_stats, tokens, token_lengths, ref_mels, key):
+        spk = models.ge2e.apply({"params": params["ge2e"]}, ref_mels)
+        out = models.tacotron.apply(
+            {"params": params["tacotron"], "batch_stats": batch_stats["tacotron"]},
+            tokens, token_lengths, spk, max_steps, 1.5, False,
+            method=models.tacotron.infer, rngs={"prenet": key},
+        )
+        S_db = dsp.denormalize(out["linear"], cfg.min_level_db)
+        mag = dsp.db_to_amp(S_db + cfg.ref_level_db)
+        wav = stft_matmul.griffin_lim_auto(
+            mag**cfg.power, cfg.n_fft, cfg.hop, cfg.griffin_lim_iter,
+            cfg.hop * (mag.shape[-2] - 1), precision="highest",
+        )
+        return jnp.abs(dsp.inv_preemphasis(wav, cfg.preemphasis)).mean()
+
+    args = (state.params, state.batch_stats,
+            jnp.asarray(init_batch["tokens"]),
+            jnp.asarray(init_batch["token_lengths"]),
+            jnp.asarray(init_batch["ref_mels"]), jax.random.PRNGKey(1))
+    print(f"[profile] warmup synthesis (B={B}, r={r}, {max_steps} frames)")
+    for _ in range(2):
+        probe = synthesize(*args)
+    float(probe)
+    print(f"[profile] tracing {n_steps} synthesis calls -> {out_dir}")
+    with jax.profiler.trace(out_dir):
+        for _ in range(n_steps):
+            probe = synthesize(*args)
+        float(probe)
 
 
 # Substrings mapping op names/sources to PROFILE.md's budget rows; first
@@ -166,13 +228,16 @@ def main() -> None:
     p.add_argument("-out", default=None, help="trace dir (default: tmp)")
     p.add_argument("-summarize", default=None, metavar="DIR",
                    help="skip capture; parse an existing trace dir")
+    p.add_argument("-synthesis", action="store_true",
+                   help="trace the constant-workload synthesis path instead")
     args = p.parse_args()
 
     if args.summarize:
         result = summarize(args.summarize, args.steps, args.top)
     else:
-        out_dir = args.out or f"/tmp/mstts_profile_b{args.batch}"
-        capture(out_dir, args.batch, args.steps, args.r)
+        kind = "synth" if args.synthesis else "profile"
+        out_dir = args.out or f"/tmp/mstts_{kind}_b{args.batch}"
+        capture(out_dir, args.batch, args.steps, args.r, args.synthesis)
         result = summarize(out_dir, args.steps, args.top)
     print(json.dumps(result))
 

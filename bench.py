@@ -110,8 +110,10 @@ def main() -> None:
     hp = default_hparams()
     if os.environ.get("BENCH_R"):  # reduction-factor sweep knob
         hp = hp.replace(Decoder={"N_Frames_Per_Step": int(os.environ["BENCH_R"])})
+    if os.environ.get("BENCH_QUANTIZE") == "int8":  # serving quantization knob
+        hp = hp.replace(Decoder={"Quantize_Int8": True})
     cfg = dsp.DSPConfig.from_hp(hp)
-    models = trainer_lib.build_models(hp)
+    models = models0 = trainer_lib.build_models(hp)
     r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
 
     # Measured batch sweep on v5e (constant workload): at r=1, B=16
@@ -140,7 +142,10 @@ def main() -> None:
     state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), init_batch)
 
     def make_synth(max_steps: int, stop_threshold: float, early_exit: bool,
-                   gl_iter: int | None = None, momentum: float = 0.0):
+                   gl_iter: int | None = None, momentum: float = 0.0,
+                   models_=None):
+        models = models_ or models0
+
         def synthesize(params, batch_stats, tokens, token_lengths, ref_mels, rngkey):
             spk = models.ge2e.apply({"params": params["ge2e"]}, ref_mels)
             out = models.tacotron.apply(
@@ -220,6 +225,33 @@ def main() -> None:
 
         extra["synthesis_x_realtime_momentum30"] = round(
             audio_seconds / _two_point(timed_m), 2
+        )
+
+    # --- weight-only int8 decode (serving quantization knob) --------------
+    # Measured on the committed trained checkpoint: int8-vs-f32 mel L1
+    # 0.0011-0.0020 (10x below the model's own target L1), identical
+    # re-enroll margins; +5% constant-workload, -10% B=8 request latency.
+    if not os.environ.get("BENCH_SKIP_INT8") \
+            and os.environ.get("BENCH_QUANTIZE") != "int8" \
+            and time.perf_counter() - _T0 < budget:
+        _stage("compiling int8-decode synthesis")
+        models_q = trainer_lib.build_models(
+            hp.replace(Decoder={"Quantize_Int8": True})
+        )
+        fn_q = make_synth(MAX_STEPS, 1.5, early_exit=False, models_=models_q)
+        float(fn_q(*args)[0])
+        _stage("timing int8-decode synthesis")
+
+        def timed_q(n: int) -> float:
+            t0 = time.perf_counter()
+            probe = None
+            for _ in range(n):
+                probe = fn_q(*args)
+            float(probe[0])
+            return time.perf_counter() - t0
+
+        extra["synthesis_x_realtime_int8"] = round(
+            audio_seconds / _two_point(timed_q), 2
         )
 
     # --- training throughput + MFU (contract numbers: always run) ---------

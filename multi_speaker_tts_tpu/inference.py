@@ -100,7 +100,16 @@ def _gl_vocode(out: dict, cfg, pcm16: bool) -> jax.Array:
 class Synthesizer:
     """High-level text -> waveform engine with zero-shot speaker cloning."""
 
-    def __init__(self, hp, params, batch_stats, seed: int = 0, mesh=None):
+    def __init__(self, hp, params, batch_stats, seed: int = 0, mesh=None,
+                 quantize: str | None = None):
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            # Weight-only int8 for the AR decode loop's LSTM GEMMs: halves
+            # the per-step weight streaming that bounds decode throughput.
+            # Quantization happens inside the jitted infer program, so the
+            # checkpoint tree is untouched.
+            hp = hp.replace(Decoder={"Quantize_Int8": True})
         self.hp = hp
         self.models = trainer_lib.build_models(hp)
         # Pin the weights on device ONCE. Checkpoint loaders hand back host
@@ -827,6 +836,9 @@ def main() -> None:
                         help="stream chunks to <out>/utt_<i>.wav as they "
                              "decode (Synthesizer.stream); prints per-chunk "
                              "timing instead of alignments")
+    parser.add_argument("-quantize", default=None, choices=["int8"],
+                        help="weight-only quantization for the AR decode "
+                             "loop (serving speed knob)")
     args = parser.parse_args()
 
     texts = list(args.text)
@@ -843,6 +855,7 @@ def main() -> None:
             args.checkpoint,
             hp=(load_hyper_parameters(args.hyper_parameters)
                 if args.hyper_parameters else None),
+            quantize=args.quantize,
         )
         hp = synth0.hp
     else:
@@ -856,7 +869,9 @@ def main() -> None:
         )
     if spk_type == "LUT" and args.speaker_id is None:
         parser.error("this model uses a speaker lookup table: pass -speaker_id")
-    synth = synth0 or Synthesizer.from_checkpoint(args.checkpoint, hp)
+    synth = synth0 or Synthesizer.from_checkpoint(
+        args.checkpoint, hp, quantize=args.quantize
+    )
     spk = synth.enroll(args.ref) if args.ref else None
 
     out_dir = pathlib.Path(args.out)

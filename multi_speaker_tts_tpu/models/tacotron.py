@@ -140,6 +140,10 @@ class Decoder(nn.Module):
     bwd_unroll: int = 0  # backward-scan unroll (0 = same as scan_unroll)
     early_exit_chunk: int = 16  # steps per early-exit while iteration
     compute_dtype: jnp.dtype = jnp.float32
+    # Weight-only int8 for the AR decode loop's LSTM GEMMs (serving knob,
+    # Decoder.Quantize_Int8 / Synthesizer(quantize="int8")); never applies
+    # to the teacher-forced training path.
+    quantize_int8: bool = False
 
     @nn.compact
     def __call__(  # noqa: D401
@@ -200,6 +204,9 @@ class Decoder(nn.Module):
 
         mem_f32 = memory.astype(jnp.float32)
         mask_f32 = memory_mask.astype(jnp.float32)
+        # Quantized fused AR weights (None = the cell builds its own
+        # compute-dtype fused matrices). Built once here, outside the loop.
+        ar_fused = dscan.quantize_fused(cellp) if self.quantize_int8 else None
 
         if segment is not None:
             if isinstance(segment, str):  # "init": zero decode state
@@ -226,7 +233,7 @@ class Decoder(nn.Module):
                     mask_f32, segment["carry"], segment["prev"],
                     segment["t0"], segment["stopped"], segment["lengths"],
                     K, stop_threshold, rng, self.mel_dim,
-                    self.compute_dtype, self.scan_unroll,
+                    self.compute_dtype, self.scan_unroll, fused=ar_fused,
                 )
             )
             mel_seg = jnp.swapaxes(f_k, 0, 1).reshape(B, K * r, self.mel_dim)
@@ -290,12 +297,13 @@ class Decoder(nn.Module):
                     n_steps, stop_threshold, rng, self.mel_dim,
                     self.compute_dtype, stopped_init=stopped_init,
                     chunk=self.early_exit_chunk, unroll=self.scan_unroll,
+                    fused=ar_fused,
                 )
             else:
                 frames, stops, aligns = dscan.decoder_ar_scan(
                     cellp, prenet_fn, project_fn, keys, mem_f32, mask_f32,
                     n_steps, rng, self.mel_dim, self.compute_dtype,
-                    self.scan_unroll,
+                    self.scan_unroll, fused=ar_fused,
                 )
 
         # (n_steps, B, mel*r) -> (B, n_steps*r, mel)
@@ -448,6 +456,7 @@ class Tacotron(nn.Module):
                 scan_unroll=hp.Decoder.get("Scan_Unroll", 1),
                 bwd_unroll=hp.Decoder.get("Backward_Unroll", 0),
                 early_exit_chunk=hp.Decoder.get("Early_Exit_Chunk", 16),
+                quantize_int8=hp.Decoder.get("Quantize_Int8", False),
             ),
             postnet=dict(
                 conv_stacks=hp.Postnet.Conv.Stacks,

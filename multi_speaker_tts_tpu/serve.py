@@ -497,14 +497,19 @@ def main() -> None:
     parser.add_argument("-warmup", action="store_true",
                         help="pre-compile the serving programs before "
                              "accepting traffic")
+    parser.add_argument("-quantize", default=None, choices=["int8"],
+                        help="weight-only quantization for the AR decode "
+                             "loop (serving speed knob)")
     args = parser.parse_args()
 
     hp = (load_hyper_parameters(args.hyper_parameters)
           if args.hyper_parameters else None)
     if args.checkpoint.endswith(".msgpack"):
-        synth = Synthesizer.from_compact(args.checkpoint, hp=hp)
+        synth = Synthesizer.from_compact(args.checkpoint, hp=hp,
+                                         quantize=args.quantize)
     else:
-        synth = Synthesizer.from_checkpoint(args.checkpoint, hp=hp)
+        synth = Synthesizer.from_checkpoint(args.checkpoint, hp=hp,
+                                            quantize=args.quantize)
 
     server = TTSServer(
         synth, host=args.host, port=args.port,

@@ -108,7 +108,10 @@ class Synthesizer:
             # Weight-only int8 for the AR decode loop's LSTM GEMMs: halves
             # the per-step weight streaming that bounds decode throughput.
             # Quantization happens inside the jitted infer program, so the
-            # checkpoint tree is untouched.
+            # checkpoint tree is untouched. (GE2E enrollment was measured
+            # int8 too and showed NO gain — enroll p50 33.0 ms f32 vs
+            # 36.2 ms int8, wavefront not purely streaming-bound — so the
+            # encoder stays full-precision and embeddings stay identical.)
             hp = hp.replace(Decoder={"Quantize_Int8": True})
         self.hp = hp
         self.models = trainer_lib.build_models(hp)

@@ -133,3 +133,21 @@ def test_stream_mel_not_fetched_by_default(setup):
     synth, spk = setup
     chunks = list(synth.stream(["hi"], spk, max_steps=32, segment_steps=16))
     assert all("mel_chunk" not in c for c in chunks)
+
+
+def test_stream_matches_batch_under_int8(setup, tiny_hp):
+    """quantize='int8' threads the SAME quantized fused weights into the
+    early-exit chunk body and the streaming segment driver, so streamed mel
+    must still equal the batched mel exactly."""
+    synth_f32, spk = setup
+    state_like = (synth_f32.params, synth_f32.batch_stats)
+    synth = Synthesizer(tiny_hp, *state_like, quantize="int8")
+    texts = ["hello there", "hi"]
+    chunks = list(synth.stream(texts, spk, max_steps=32, segment_steps=16,
+                               return_mel=True))
+    mel_stream = np.concatenate([c["mel_chunk"] for c in chunks], axis=1)
+    out = synth.synthesize(texts, spk, max_steps=32)
+    for b, o in enumerate(out):
+        T = o["mel_length"]
+        assert chunks[-1]["mel_lengths"][b] == T
+        np.testing.assert_allclose(mel_stream[b, :T], o["mel"][:T], atol=1e-5)

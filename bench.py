@@ -236,6 +236,15 @@ def main() -> None:
             _bench_train(jax, jnp, default_hparams, trainer_lib, extra), 1
         )
 
+    # --- GE2E speaker-encoder training throughput (the other trainer) -----
+    if not os.environ.get("BENCH_SKIP_GE2E") \
+            and time.perf_counter() - _T0 < budget:
+        _stage("GE2E train-step benchmark")
+        try:
+            _bench_ge2e_train(jax, jnp, default_hparams, extra)
+        except Exception as e:
+            extra["ge2e_train"] = f"failed ({type(e).__name__}: {e})"[:300]
+
     # --- realistic serving: trained checkpoint, stop actually fires -------
     if not os.environ.get("BENCH_SKIP_SERVING"):
         if time.perf_counter() - _T0 < budget:
@@ -519,6 +528,61 @@ def _bench_serving(jax, extra: dict) -> None:
         f"{k[0]}_S{k[1]}_B{k[2]}_steps{k[3]}": v
         for k, v in synth.compile_counts.items()
     }
+
+
+def _bench_ge2e_train(jax, jnp, default_hparams, extra: dict) -> None:
+    """GE2E speaker-encoder training step at the paper batch (N=16 speakers
+    x M=10 utterances x 160-frame crops, 3x768 LSTM + 256 proj): mel
+    frames/sec and MFU for the second trainer (SURVEY.md section 3.4)."""
+    from multi_speaker_tts_tpu.models import GE2E
+    from multi_speaker_tts_tpu.train.ge2e_trainer import (
+        init_ge2e_state, make_ge2e_train_step,
+    )
+
+    hp = default_hparams()
+    model = GE2E.from_hp(hp)
+    N = int(hp.GE2E_Train.Batch_Speakers)
+    M = int(hp.GE2E_Train.Batch_Utterances)
+    L = int(hp.GE2E_Train.Frame_Length)
+    rng = np.random.default_rng(0)
+    mels = jnp.asarray(
+        rng.uniform(0, 1, size=(N * M, L, hp.Sound.Mel_Dim)), jnp.float32
+    )
+    state = init_ge2e_state(hp, model, jax.random.PRNGKey(0), mels)
+    step = jax.jit(make_ge2e_train_step(hp, model), donate_argnums=0)
+
+    flops = None
+    try:
+        cost = step.lower(state, mels).compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, m = step(state, mels)
+    float(m["loss"])  # compile + warmup sync
+
+    def run(n, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, mels)
+        float(m["loss"])
+        return time.perf_counter() - t0, state
+
+    pers = []
+    for _ in range(3):
+        a, state = run(2, state)
+        b, state = run(12, state)
+        pers.append(max((b - a) / 10, 1e-9))
+    per = sorted(pers)[1]
+
+    extra["ge2e_train_batch"] = [N, M, L]
+    extra["ge2e_train_frames_per_sec"] = round(N * M * L / per, 1)
+    extra["ge2e_train_steps_per_sec"] = round(1.0 / per, 2)
+    if flops:
+        extra["ge2e_train_step_tflops"] = round(flops / 1e12, 3)
+        extra["ge2e_train_mfu"] = round(flops / per / _peak_flops(jax), 4)
 
 
 def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:

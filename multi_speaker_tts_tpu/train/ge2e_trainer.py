@@ -18,6 +18,7 @@ from flax import struct
 
 from multi_speaker_tts_tpu.data.datasets import GE2EBatchSampler, PatternDataset
 from multi_speaker_tts_tpu.models import GE2E, ge2e_loss
+from multi_speaker_tts_tpu.parallel import mesh as mesh_lib
 from multi_speaker_tts_tpu.train.checkpoints import CheckpointManager
 from multi_speaker_tts_tpu.train.logger import Logger
 
@@ -93,15 +94,39 @@ def make_ge2e_train_step(hp, model: GE2E):
 
 
 class GE2ETrainer:
-    """Training driver for the speaker encoder."""
+    """Training driver for the speaker encoder.
 
-    def __init__(self, hp, checkpoint_dir: str | None = None, log_dir: str | None = None):
+    ``n_devices > 1`` trains data-parallel over a 1-D ``data`` mesh: the
+    N*M utterance rows are sharded over chips, the LSTM wavefront runs DP,
+    and GSPMD all-gathers the tiny (N*M, proj) embeddings for the global
+    similarity matrix and psums the gradients over ICI — the GE2E loss is
+    intrinsically global (every embedding meets every centroid), so the
+    gather is the correct collective, not an approximation. Default stays
+    single-device (the batch N*M is small and must divide the mesh size).
+    """
+
+    def __init__(self, hp, checkpoint_dir: str | None = None, log_dir: str | None = None,
+                 n_devices: int = 1):
         self.hp = hp
         self.model = GE2E.from_hp(hp)
         self.logger = Logger(log_dir or hp.Log_Path)
         self.checkpoints = CheckpointManager(checkpoint_dir or hp.Checkpoint_Path)
         self.state: GE2ETrainState | None = None
-        self._step_fn = jax.jit(make_ge2e_train_step(hp, self.model))
+        self.mesh = mesh_lib.create_mesh(n_devices)
+        self.n_devices = self.mesh.devices.size
+        rows = hp.GE2E_Train.Batch_Speakers * hp.GE2E_Train.Batch_Utterances
+        if rows % self.n_devices:
+            raise ValueError(
+                f"GE2E batch rows N*M={rows} must be divisible by the mesh "
+                f"size ({self.n_devices})"
+            )
+        repl, shard = mesh_lib.data_parallel_shardings(self.mesh)
+        self._batch_sharding = shard
+        self._step_fn = jax.jit(
+            make_ge2e_train_step(hp, self.model),
+            in_shardings=(repl, shard),
+            out_shardings=(repl, repl),
+        )
 
     def train(self, pattern_dir: str, max_steps: int, log_interval: int = 50,
               save_interval: int = 500) -> GE2ETrainState:
@@ -120,11 +145,13 @@ class GE2ETrainer:
             if restored is not None:
                 self.state = restored
                 print(f"resumed GE2E training from step {step}")
+            self.state = mesh_lib.replicate(self.mesh, jax.device_get(self.state))
 
         step = int(jax.device_get(self.state.step))
         while step < max_steps:
             batch = sampler.sample()
-            self.state, metrics = self._step_fn(self.state, jnp.asarray(batch["mels"]))
+            mels = jax.device_put(jnp.asarray(batch["mels"]), self._batch_sharding)
+            self.state, metrics = self._step_fn(self.state, mels)
             step += 1
             if step % log_interval == 0:
                 metrics = jax.device_get(metrics)

@@ -94,6 +94,80 @@ def test_sharded_train_two_steps_stable(tiny_hp, batch):
     assert np.isfinite(losses).all()
 
 
+def test_sharded_ge2e_train_step_matches_single_device(tiny_hp):
+    """The GE2E loss is global (every embedding vs every centroid); the DP
+    step shards the N*M rows over the mesh, GSPMD gathers the tiny embedding
+    matrix for the loss, and the result must equal the unsharded step."""
+    from multi_speaker_tts_tpu.models import GE2E
+    from multi_speaker_tts_tpu.train.ge2e_trainer import (
+        init_ge2e_state, make_ge2e_train_step,
+    )
+
+    hp = tiny_hp.replace(
+        GE2E_Train={
+            "Batch_Speakers": 4,
+            "Batch_Utterances": 2,  # N*M = 8 rows over the 8-device mesh
+            "Frame_Length": 24,
+            "Learning_Rate": 0.01,
+            "Scale_Gradient": 0.01,
+        }
+    )
+    model = GE2E.from_hp(hp, compute_dtype=jnp.float32)
+    N, M, L, D = 4, 2, 24, hp.Sound.Mel_Dim
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(N, 1, 1, D)) * 2.0
+    mels = jnp.asarray(
+        (base + 0.3 * rng.normal(size=(N, M, L, D))).reshape(N * M, L, D),
+        jnp.float32,
+    )
+    state0 = init_ge2e_state(hp, model, jax.random.PRNGKey(0), mels)
+    step_fn = make_ge2e_train_step(hp, model)
+
+    state_a, metrics_a = jax.jit(step_fn)(state0, mels)
+
+    mesh = mesh_lib.create_mesh()
+    repl, shard = mesh_lib.data_parallel_shardings(mesh)
+    step_dp = jax.jit(step_fn, in_shardings=(repl, shard), out_shardings=(repl, repl))
+    state_b, metrics_b = step_dp(
+        mesh_lib.replicate(mesh, state0), jax.device_put(mels, shard)
+    )
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=2e-5
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg="sharded GE2E step diverged from single-device step",
+        )
+
+
+def test_ge2e_trainer_sharded_end_to_end(tiny_hp, tmp_path):
+    """GE2ETrainer(n_devices=8) trains over the virtual mesh end to end."""
+    from multi_speaker_tts_tpu.data import generate_synthetic_dataset
+    from multi_speaker_tts_tpu.train.ge2e_trainer import GE2ETrainer
+
+    hp = tiny_hp.replace(
+        GE2E_Train={
+            "Batch_Speakers": 4,
+            "Batch_Utterances": 2,
+            "Frame_Length": 24,
+            "Learning_Rate": 0.01,
+            "Scale_Gradient": 0.01,
+        }
+    )
+    root = tmp_path / "ge2edp"
+    generate_synthetic_dataset(hp, root, n_speakers=4, n_utterances=4)
+    trainer = GE2ETrainer(
+        hp, checkpoint_dir=tmp_path / "ckpt", log_dir=tmp_path / "logs",
+        n_devices=8,
+    )
+    state = trainer.train(root / "patterns", max_steps=3, log_interval=1,
+                          save_interval=10)
+    assert int(jax.device_get(state.step)) == 3
+    assert np.isfinite(jax.device_get(state.params["w"]))
+
+
 def test_sharded_inference_utterances_per_chip(tiny_hp, batch):
     """BASELINE config 5 sharding: independent utterances sharded over the
     mesh for AR decode; each row equals the single-device result."""

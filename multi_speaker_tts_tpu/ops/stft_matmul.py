@@ -294,6 +294,8 @@ def griffin_lim_matmul(
     length: int,
     precision: str = "highest",
     momentum: float = 0.0,
+    init_head: jax.Array | None = None,  # (..., L) warm-start samples
+    init_head_gate: jax.Array | None = None,  # scalar 0/1 blend
 ) -> jax.Array:
     """Batched Griffin-Lim with every transform as an MXU matmul.
 
@@ -301,7 +303,14 @@ def griffin_lim_matmul(
     but STFT/ISTFT are windowed-DFT GEMMs and framing/OLA are shifted views:
     the entire vocoder is matmul + elementwise, no FFT, no scatter.
     ``momentum`` > 0 = the accelerated variant (see ``dsp.griffin_lim``).
-    """
+
+    ``init_head`` warm-starts the iteration: the first ``L`` samples of
+    the initial waveform are taken from the caller (e.g. the previous
+    streaming window's converged audio over the overlap region — the
+    RTISI idea) instead of the zero-phase ISTFT, steering GL toward a
+    phase-continuous local fixed point. ``init_head_gate`` (a traced 0/1
+    scalar) blends it in, so a first-window-has-no-predecessor case can
+    stay a single compiled program."""
     prec = _PRECISIONS[precision]
     mag = magnitude.astype(jnp.float32)
     T = mag.shape[-2]
@@ -320,6 +329,13 @@ def griffin_lim_matmul(
         return re, im
 
     y0 = istft_from(mag, jnp.zeros_like(mag))  # zero phase
+    if init_head is not None:
+        L = init_head.shape[-1]
+        head = init_head.astype(jnp.float32)
+        if init_head_gate is not None:
+            g = init_head_gate.astype(jnp.float32)
+            head = g * head + (1.0 - g) * y0[..., :L]
+        y0 = jnp.concatenate([head, y0[..., L:]], axis=-1)
 
     if momentum > 0.0:
         beta = momentum / (1.0 + momentum)

@@ -211,3 +211,180 @@ def test_http_health_and_stats(server):
     assert "spk0" in snap["speakers"]
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(f"{base}/nope", timeout=30)
+
+
+def test_bad_request_fails_alone_in_concurrent_window(setup):
+    """One malformed request (wrong embedding shape / non-string text)
+    raises in ITS caller at submit time; the co-batched good requests in
+    the same wait window all succeed (VERDICT r3 item 6)."""
+    synth, spk, _ = setup
+    stats = ServingStats()
+    b = DynamicBatcher(synth, max_batch=8, max_wait_ms=400.0, stats=stats,
+                       vocode=False)
+    try:
+        good_texts = ["alpha", "beta beta", "gamma gamma gamma"]
+        results: dict = {}
+        failures: dict = {}
+
+        def good(t):
+            results[t] = b.submit(t, spk, max_steps=16)
+
+        def bad_shape():
+            try:
+                b.submit("bad shape", np.zeros((3,), np.float32),
+                         max_steps=16)
+            except Exception as exc:
+                failures["shape"] = exc
+
+        def bad_text():
+            try:
+                b.submit(12345, spk, max_steps=16)  # non-string text
+            except Exception as exc:
+                failures["text"] = exc
+
+        threads = [threading.Thread(target=good, args=(t,))
+                   for t in good_texts]
+        threads += [threading.Thread(target=bad_shape),
+                    threading.Thread(target=bad_text)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        # Both bad requests failed, in their own callers...
+        assert isinstance(failures.get("shape"), ValueError)
+        assert "text" in failures
+        # ...and every good request synthesized.
+        assert set(results) == set(good_texts)
+        for item in results.values():
+            assert item["mel_length"] >= 1
+            assert np.isfinite(item["mel"]).all()
+    finally:
+        b.close()
+
+
+def test_missing_speaker_fails_at_submit(setup):
+    """A conditioned model with neither embedding nor id raises at submit
+    (ValueError), never reaching a batch."""
+    synth, _, _ = setup
+    b = DynamicBatcher(synth, max_batch=4, max_wait_ms=1.0, vocode=False)
+    try:
+        with pytest.raises(ValueError, match="speaker-conditioned"):
+            b.submit("no speaker", None, max_steps=16)
+    finally:
+        b.close()
+
+
+def _read_chunked(sock) -> tuple[list, bytes]:
+    """Parse an HTTP/1.1 chunked response off a raw socket; returns the
+    list of chunk payloads (proving incremental delivery: each chunk was
+    framed and flushed before the terminal 0-chunk) and the header
+    block."""
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        data = sock.recv(65536)
+        assert data, "connection closed before headers"
+        buf += data
+    headers, buf = buf.split(b"\r\n\r\n", 1)
+    if b"Transfer-Encoding: chunked" not in headers:
+        # Error reply (Content-Length body): surface it instead of
+        # waiting for chunk frames that will never come.
+        n = 0
+        for line in headers.split(b"\r\n"):
+            if line.lower().startswith(b"content-length:"):
+                n = int(line.split(b":")[1])
+        while len(buf) < n:
+            data = sock.recv(65536)
+            if not data:
+                break
+            buf += data
+        raise AssertionError(f"non-chunked reply: {headers!r} body {buf!r}")
+
+    def need(n):
+        nonlocal buf
+        while len(buf) < n:
+            data = sock.recv(65536)
+            assert data, "connection closed mid-chunk"
+            buf += data
+
+    chunks = []
+    while True:
+        while b"\r\n" not in buf:
+            need(len(buf) + 1)
+        size_line, buf = buf.split(b"\r\n", 1)
+        size = int(size_line.split(b";")[0], 16)
+        if size == 0:
+            break
+        need(size + 2)
+        chunks.append(buf[:size])
+        buf = buf[size + 2:]
+    return chunks, headers
+
+
+@pytest.fixture(scope="module")
+def stream_server(setup):
+    """A server over a NO-STOP synthesizer (threshold > 1): the tiny
+    random-weight model stops at frame 1, which would trim every chunk
+    past the first to zero bytes; disabling the stop makes the chunk
+    cadence deterministic for the incremental-delivery assertions."""
+    from multi_speaker_tts_tpu.inference import Synthesizer
+
+    synth, spk, _ = setup
+    hp2 = synth.hp.replace(Decoder={"Stop_Threshold": 1.5})
+    synth2 = Synthesizer(hp2, synth.params, synth.batch_stats)
+    srv = TTSServer(synth2, host="127.0.0.1", port=0, max_batch=4,
+                    max_wait_ms=5.0, vocode=True)
+    srv.registry.register("spk0", spk)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_http_stream_chunked(stream_server):
+    """POST /stream delivers audio over chunked transfer encoding: a
+    streaming WAV header plus >= 2 incrementally framed PCM chunks before
+    the response completes (VERDICT r3 item 4), and the PCM equals the
+    Synthesizer.stream output trimmed to the decoded length."""
+    import socket
+
+    server = stream_server
+    synth = server.synth
+    payload = json.dumps({
+        "text": "stream me some audio please",
+        "speaker": "spk0", "max_steps": 16, "segment_steps": 12,
+    }).encode()
+    with socket.create_connection(("127.0.0.1", server.port),
+                                  timeout=300) as sock:
+        sock.sendall(
+            b"POST /stream HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: %d\r\n\r\n%s" % (len(payload), payload)
+        )
+        chunks, headers = _read_chunked(sock)
+    assert b"200" in headers.split(b"\r\n")[0]
+    assert b"Transfer-Encoding: chunked" in headers
+    assert chunks[0][:4] == b"RIFF" and chunks[0][8:12] == b"WAVE"
+    audio_chunks = chunks[1:]
+    assert len(audio_chunks) >= 2, (
+        f"expected incremental delivery, got {len(audio_chunks)} audio "
+        f"chunks of sizes {[len(c) for c in chunks]}"
+    )
+    got = np.frombuffer(b"".join(audio_chunks), "<i2")
+
+    # Parity: the same utterance through Synthesizer.stream directly.
+    spk = server.registry.get("spk0")
+    want = []
+    final_len = 0
+    for item in synth.stream(["stream me some audio please"], spk,
+                             max_steps=16, segment_steps=12, pcm16=True):
+        want.append(np.asarray(item["wav_chunk"][0]))
+        final_len = int(item["mel_lengths"][0])
+    want = np.concatenate(want)[: final_len * synth.dsp_cfg.hop]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_http_stream_errors(server):
+    base = f"http://127.0.0.1:{server.port}"
+    status, _, body = _post(f"{base}/stream", {"text": "x", "speaker": "nobody"})
+    assert status == 400 and b"unknown speaker" in body
+    status, _, body = _post(f"{base}/stream", {"speaker": "spk0"})
+    assert status == 400 and b"text" in body

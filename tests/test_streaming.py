@@ -151,3 +151,33 @@ def test_stream_matches_batch_under_int8(setup, tiny_hp):
         T = o["mel_length"]
         assert chunks[-1]["mel_lengths"][b] == T
         np.testing.assert_allclose(mel_stream[b, :T], o["mel"][:T], atol=1e-5)
+
+
+def test_stream_gl_warm_start_opt_in(setup):
+    """gl_warm_start=True (RTISI-style init, opt-in — measured a quality
+    no-op and rejected as default, PROFILE.md "Streaming GL warm start")
+    keeps the streaming contract: mel chunks stay EXACTLY the batched
+    values (warm start touches only the vocoder init), wav chunks stay
+    finite and close to the crossfade-only stream (same GL fixed-point
+    family, different init)."""
+    synth, spk = setup
+    texts = ["warm start check", "hi"]
+    warm = list(synth.stream(texts, spk, max_steps=32, segment_steps=16,
+                             return_mel=True, gl_warm_start=True))
+    cold = list(synth.stream(texts, spk, max_steps=32, segment_steps=16,
+                             return_mel=True, gl_warm_start=False))
+    assert len(warm) == len(cold)
+    mel_w = np.concatenate([c["mel_chunk"] for c in warm], axis=1)
+    mel_c = np.concatenate([c["mel_chunk"] for c in cold], axis=1)
+    np.testing.assert_allclose(mel_w, mel_c, atol=1e-6)
+    wav_w = np.concatenate([c["wav_chunk"] for c in warm], axis=1)
+    wav_c = np.concatenate([c["wav_chunk"] for c in cold], axis=1)
+    assert np.isfinite(wav_w).all()
+    assert wav_w.shape == wav_c.shape
+    # The first window has no predecessor: its init is gated to the
+    # zero-phase start, so the first emitted block matches closely.
+    hop = synth.dsp_cfg.hop
+    E = 16 * int(synth.hp.Decoder.get("N_Frames_Per_Step", 1))
+    rms = float(np.sqrt((wav_c[:, : E * hop] ** 2).mean()))
+    diff0 = float(np.abs(wav_w[:, : E * hop] - wav_c[:, : E * hop]).max())
+    assert diff0 <= max(0.05 * rms, 1e-4), (diff0, rms)

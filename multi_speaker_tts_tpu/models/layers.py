@@ -170,6 +170,44 @@ class Highway(nn.Module):
         return h * t + x * (1.0 - t)
 
 
+class _ConvViaGEMM(nn.Module):
+    """1-D SAME conv expressed as K shifted (B*T, Cin)x(Cin, Cout) GEMMs.
+
+    Same parameter tree as ``nn.Conv`` (kernel (K, Cin, Cout), bias
+    (Cout,), same initializers) so checkpoints are interchangeable with
+    the lax.conv form. Rationale (PROFILE.md "Conv as shifted GEMMs"):
+    the round-4 train trace measured XLA's conv_general_dilated at ~53%
+    of the bf16 MXU peak for the postnet shapes, while plain dot_generals
+    on the same operands run at ~90% - the K shifted views cost K extra
+    reads of x, a bandwidth price that is ~4x smaller than the MXU time
+    recovered at (B*T >= 38k, C >= 512) shapes."""
+
+    features: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, Cin) -> (B, T, Cout)
+        K, Cin = self.kernel_size, x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (K, Cin, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        T = x.shape[1]
+        lo = (K - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, K - 1 - lo), (0, 0))).astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        y = None
+        for d in range(K):
+            yd = jnp.dot(xp[:, d : d + T], kd[d])
+            y = yd if y is None else y + yd
+        return y + bias.astype(self.dtype)
+
+
 class ConvBNBlock(nn.Module):
     """Conv1d (SAME) + BatchNorm + activation + dropout, Taco2-style.
 
@@ -186,9 +224,18 @@ class ConvBNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, T, C)
-        x = nn.Conv(
-            self.channels, (self.kernel_size,), padding="SAME", dtype=self.dtype
-        )(x)
+        import os as _os
+
+        if _os.environ.get("MSTTS_CONV_GEMM"):
+            x = _ConvViaGEMM(
+                self.channels, self.kernel_size, dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.channels, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype, name="Conv_0",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
         )(x)

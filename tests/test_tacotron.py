@@ -203,3 +203,35 @@ def test_stop_bce_decreases_with_correct_logits():
     l_good = L.stop_token_bce(good, mel_lengths)
     l_bad = L.stop_token_bce(bad, mel_lengths)
     assert float(l_good) < 0.05 < float(l_bad)
+
+
+def test_conv_via_gemm_matches_lax_conv(monkeypatch):
+    """The shifted-GEMM conv form (MSTTS_CONV_GEMM=1; PROFILE.md 'Conv as
+    shifted GEMMs') must be a drop-in for nn.Conv: identical param tree,
+    same outputs, same gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_speaker_tts_tpu.models.layers import ConvBNBlock
+
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 19, 6)), jnp.float32
+    )
+    blk = ConvBNBlock(channels=8, kernel_size=5, activation="tanh",
+                      dropout_rate=0.0)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, use_gemm):
+        if use_gemm:
+            monkeypatch.setenv("MSTTS_CONV_GEMM", "1")
+        else:
+            monkeypatch.delenv("MSTTS_CONV_GEMM", raising=False)
+        return (blk.apply(v, x) ** 2).mean()
+
+    ref, gref = jax.value_and_grad(lambda v: loss(v, False))(variables)
+    out, gout = jax.value_and_grad(lambda v: loss(v, True))(variables)
+    assert jax.tree_util.tree_structure(gref) == jax.tree_util.tree_structure(gout)
+    np.testing.assert_allclose(ref, out, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(gout)):
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -748,6 +748,50 @@ def _bench_ge2e_train(jax, jnp, default_hparams, extra: dict) -> None:
         extra["ge2e_train_step_tflops"] = round(flops / 1e12, 3)
         extra["ge2e_train_mfu"] = round(flops / per / _peak_flops(jax), 4)
 
+    # Measured batch-shape knee (PROFILE.md "GE2E wavefront roofline"):
+    # rows = N*M; 160 -> 320 rows feeds the (3, rows, ~1.5k) layer-batched
+    # wavefront GEMMs ~10% better (interleaved-repeat medians 1.04M vs
+    # 1.14M frames/s); 640 rows falls back to ~0.98M (residual HBM
+    # traffic). (16, 10, 160) above stays the contract row for r01-r03
+    # comparability; this records the throughput-optimal shape.
+    N2, M2 = 32, 10
+    mels2 = jnp.asarray(
+        rng.uniform(0, 1, size=(N2 * M2, L, hp.Sound.Mel_Dim)), jnp.float32
+    )
+    hp2 = hp.replace(GE2E_Train={"Batch_Speakers": N2})
+    state2 = init_ge2e_state(hp2, model, jax.random.PRNGKey(0), mels2)
+    step2 = jax.jit(make_ge2e_train_step(hp2, model), donate_argnums=0)
+    flops2 = None
+    try:
+        cost2 = step2.lower(state2, mels2).compile().cost_analysis()
+        if cost2:
+            flops2 = float(cost2.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    state2, m2 = step2(state2, mels2)
+    float(m2["loss"])
+
+    def run2(n, state2):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state2, m = step2(state2, mels2)
+        float(m["loss"])
+        return time.perf_counter() - t0, state2
+
+    pers2 = []
+    for _ in range(3):
+        a, state2 = run2(2, state2)
+        b, state2 = run2(12, state2)
+        pers2.append(max((b - a) / 10, 1e-9))
+    per2 = sorted(pers2)[1]
+    extra["ge2e_train_knee_batch"] = [N2, M2, L]
+    extra["ge2e_train_knee_frames_per_sec"] = round(N2 * M2 * L / per2, 1)
+    if flops2:
+        extra["ge2e_train_knee_mfu"] = round(
+            flops2 / per2 / _peak_flops(jax), 4
+        )
+
 
 def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     """Teacher-forced training throughput (mel frames/sec/chip) + MFU."""

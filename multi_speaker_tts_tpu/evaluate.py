@@ -128,6 +128,7 @@ def speaker_verification(
     pattern_dir: str,
     max_utts_per_speaker: int = 10,
     batch_size: int = 16,
+    return_embeddings: bool = False,
 ) -> dict:
     """GE2E encoder quality over a pattern set (BASELINE config 2): EER and
     own-vs-cross cosine statistics from ``embed_utterance`` embeddings.
@@ -199,7 +200,11 @@ def speaker_verification(
                 best, best_s = score, s
         correct += int(best_s == spk_of[i])
 
+    out_extra = (
+        {"embeddings": E, "speaker_of": spk_of} if return_embeddings else {}
+    )
     return {
+        **out_extra,
         "sv_eer": compute_eer(scores, same),
         "sv_own_cos": float(scores[same].mean()),
         "sv_cross_cos": float(scores[~same].mean()),

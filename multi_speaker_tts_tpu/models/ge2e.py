@@ -53,6 +53,7 @@ class GE2E(nn.Module):
     lstm_stacks: int = 3
     embedding_size: int = 256
     compute_dtype: jnp.dtype = jnp.float32
+    scan_unroll: int = 4  # wavefront unroll (swept in PROFILE.md "GE2E")
 
     @classmethod
     def from_hp(cls, hp, **overrides) -> "GE2E":
@@ -64,6 +65,7 @@ class GE2E(nn.Module):
             compute_dtype=(
                 jnp.bfloat16 if hp.Train.Use_Mixed_Precision else jnp.float32
             ),
+            scan_unroll=int(spk.GE2E.get("Scan_Unroll", 4)),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -79,7 +81,8 @@ class GE2E(nn.Module):
             layers.append(_LSTMParamBank(d, self.lstm_size, name=f"lstm_{i}")())
             d = self.lstm_size
         x, last = lstm_ops.lstm_stack_wavefront(
-            layers, mels, compute_dtype=self.compute_dtype, unroll=4
+            layers, mels, compute_dtype=self.compute_dtype,
+            unroll=self.scan_unroll,
         )
         del x  # (B, H): final frame output (GE2E paper eq. 4) is `last`
         emb = nn.Dense(self.embedding_size, name="projection")(last)

@@ -34,6 +34,14 @@ def octave_distance(r: float) -> float:
     return float(abs(o - round(o)))
 
 
+def _spearman(x: np.ndarray, y: np.ndarray) -> float:
+    rx = np.argsort(np.argsort(x)).astype(np.float64)
+    ry = np.argsort(np.argsort(y)).astype(np.float64)
+    rx -= rx.mean()
+    ry -= ry.mean()
+    return round(float((rx @ ry) / np.sqrt((rx @ rx) * (ry @ ry))), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("-checkpoint", default="demo/serving_ckpt_full.msgpack",
@@ -96,6 +104,33 @@ def main() -> None:
         ), 4),
         "octave_threshold": args.threshold,
     }
+    # Second split on the axis the pair table actually suggests: linear f0
+    # ADJACENCY (ratio 1.3 = one corpus step apart) rather than octave
+    # alignment. If confusion tracks adjacency, the embedding orders
+    # speakers by acoustic similarity and the 1.3-step corpus spacing is
+    # the separability limit.
+    adjacent = (~same) & (ratio < 1.69)  # 1.3^2 = 1.69: one step apart
+    apart = (~same) & (ratio >= 1.69)
+    out.update({
+        "adjacent_pairs": int(adjacent.sum()),
+        "nonadjacent_pairs": int(apart.sum()),
+        "cross_cos_adjacent": round(float(scores[adjacent].mean()), 4),
+        "cross_cos_nonadjacent": round(float(scores[apart].mean()), 4),
+        "sv_eer_excl_adjacent": round(compute_eer(
+            np.concatenate([scores[same], scores[apart]]),
+            np.concatenate([np.ones(same.sum(), bool),
+                            np.zeros(apart.sum(), bool)]),
+        ), 4),
+        "sv_eer_adjacent_only": round(compute_eer(
+            np.concatenate([scores[same], scores[adjacent]]),
+            np.concatenate([np.ones(same.sum(), bool),
+                            np.zeros(adjacent.sum(), bool)]),
+        ), 4),
+        # rank correlation between pair confusion and log-f0 distance
+        "spearman_crosscos_vs_logf0dist": _spearman(
+            scores[~same], np.abs(np.log(ratio[~same]))
+        ),
+    })
     # Per speaker-pair mean cross cosine vs octave distance (the raw view).
     pairs = {}
     for a in np.unique(spk_of):

@@ -54,6 +54,11 @@ class GE2E(nn.Module):
     embedding_size: int = 256
     compute_dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 4  # wavefront unroll (swept in PROFILE.md "GE2E")
+    # "pallas": resident-weight sequential kernel (ops/lstm_pallas.py) —
+    # safe as the default because it falls back to the wavefront for f32,
+    # non-lane hidden sizes, or non-TPU backends. "wavefront": force the
+    # XLA diagonal scan.
+    backend: str = "pallas"
 
     @classmethod
     def from_hp(cls, hp, **overrides) -> "GE2E":
@@ -66,6 +71,7 @@ class GE2E(nn.Module):
                 jnp.bfloat16 if hp.Train.Use_Mixed_Precision else jnp.float32
             ),
             scan_unroll=int(spk.GE2E.get("Scan_Unroll", 4)),
+            backend=str(spk.GE2E.get("Backend", "pallas")),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -80,10 +86,20 @@ class GE2E(nn.Module):
         for i in range(self.lstm_stacks):
             layers.append(_LSTMParamBank(d, self.lstm_size, name=f"lstm_{i}")())
             d = self.lstm_size
-        x, last = lstm_ops.lstm_stack_wavefront(
-            layers, mels, compute_dtype=self.compute_dtype,
-            unroll=self.scan_unroll,
-        )
+        if self.backend == "pallas":
+            from multi_speaker_tts_tpu.ops import lstm_pallas
+
+            # Falls back to the wavefront internally for f32, non-lane
+            # hidden sizes, or non-TPU backends (lstm_pallas.supported).
+            x, last = lstm_pallas.lstm_stack_seq_pallas(
+                layers, mels, compute_dtype=self.compute_dtype,
+                unroll=self.scan_unroll,
+            )
+        else:
+            x, last = lstm_ops.lstm_stack_wavefront(
+                layers, mels, compute_dtype=self.compute_dtype,
+                unroll=self.scan_unroll,
+            )
         del x  # (B, H): final frame output (GE2E paper eq. 4) is `last`
         emb = nn.Dense(self.embedding_size, name="projection")(last)
         return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)

@@ -260,6 +260,58 @@ def main() -> None:
             "error": str(e)[:500], "pass": False,
         }
 
+    # --- resident-weight LSTM stack (GE2E backend) vs XLA wavefront ---------
+    from multi_speaker_tts_tpu.ops import lstm as lstm_ops
+    from multi_speaker_tts_tpu.ops import lstm_pallas
+
+    D_in, H_l, L_stack = 128, 768, 3  # GE2E contract stack (mel 80 -> pad 128)
+    B_l, T_l = 160, 160  # N=16 x M=10 rows, 160-frame crops
+    layers = []
+    d = D_in
+    for _ in range(L_stack):
+        k = 1.0 / np.sqrt(H_l)
+        layers.append(lstm_ops.LSTMParams(
+            w_ih=jnp.asarray(rng.uniform(-k, k, (d, 4 * H_l)), jnp.float32),
+            w_hh=jnp.asarray(rng.uniform(-k, k, (H_l, 4 * H_l)), jnp.float32),
+            b=jnp.asarray(rng.uniform(-k, k, (4 * H_l,)), jnp.float32),
+        ))
+        d = H_l
+    layers = tuple(layers)
+    x_l = jnp.asarray(rng.normal(size=(B_l, T_l, D_in)), jnp.float32)
+    probe = jnp.asarray(
+        np.cos(np.arange(B_l * H_l).reshape(B_l, H_l) * 0.01), jnp.float32
+    )
+
+    def _loss(fn):
+        def f(ls, xx):
+            _, h = fn(ls, xx)
+            return (h * probe).sum()
+        return f
+
+    fwd_p = jax.jit(lambda ls, xx: lstm_pallas.lstm_stack_seq_pallas(ls, xx)[1])
+    fwd_w = jax.jit(lambda ls, xx: lstm_ops.lstm_stack_wavefront(
+        ls, xx, compute_dtype=jnp.bfloat16)[1])
+    h_p = np.asarray(jax.device_get(fwd_p(layers, x_l)))
+    h_w = np.asarray(jax.device_get(fwd_w(layers, x_l)))
+    fwd_err = float(np.abs(h_p - h_w).max())
+
+    g_p = jax.device_get(jax.jit(jax.grad(_loss(
+        lambda ls, xx: lstm_pallas.lstm_stack_seq_pallas(ls, xx))))(layers, x_l))
+    g_w = jax.device_get(jax.jit(jax.grad(_loss(
+        lambda ls, xx: lstm_ops.lstm_stack_wavefront(
+            ls, xx, compute_dtype=jnp.bfloat16))))(layers, x_l))
+    grad_rel = max(
+        float(np.abs(np.asarray(a.w_hh) - np.asarray(b.w_hh)).max()
+              / max(np.abs(np.asarray(a.w_hh)).max(), 1e-9))
+        for a, b in zip(g_w, g_p)
+    )
+    results["checks"]["lstm_stack_pallas_vs_wavefront"] = {
+        "shape": [B_l, T_l, D_in, H_l, L_stack],
+        "fwd_hT_max_abs_err": fwd_err, "fwd_tolerance": 5e-3,
+        "grad_w_hh_max_rel_err": grad_rel, "grad_tolerance_rel": 2e-2,
+        "pass": fwd_err <= 5e-3 and grad_rel <= 2e-2,
+    }
+
     results["all_pass"] = all(c["pass"] for c in results["checks"].values())
     out = pathlib.Path(__file__).resolve().parents[1] / "KERNEL_PARITY.json"
     out.write_text(json.dumps(results, indent=2) + "\n")

@@ -898,6 +898,45 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
     if flops:
         extra["train_step_tflops"] = round(flops / 1e12, 3)
         extra["train_mfu"] = round(flops / per / _peak_flops(jax), 4)
+
+    # Companion number: frozen speaker encoder. The reference trains the
+    # synthesizer against a FIXED (pretrained) GE2E embedding (SURVEY.md
+    # section 2 "fixed speaker embedding", section 3.1 "possibly frozen/
+    # pretrained"), and this repo's shipped SV2TTS recipe does the same
+    # (demo/train_serving.py: GE2E pretrain, then Freeze for TTS). The
+    # headline `train_frames_per_sec` keeps the conservative joint-training
+    # config for round-over-round comparability; this row records the
+    # recipe-aligned config, where XLA dead-code-eliminates the whole GE2E
+    # backward (measured +10%, PROFILE.md "Frozen-encoder train step").
+    if not os.environ.get("BENCH_SKIP_FROZEN_TRAIN"):
+        hp_f = hp.replace(Speaker_Embedding={"GE2E": {"Freeze": True}})
+        models_f = trainer_lib.build_models(hp_f)
+        state_f = trainer_lib.init_state(
+            hp_f, models_f, jax.random.PRNGKey(0), batch
+        )
+        step_f = jax.jit(
+            trainer_lib.make_train_step(hp_f, models_f), donate_argnums=0
+        )
+        _stage("running frozen-GE2E train step")
+        state_f, m = step_f(state_f, bd, key)
+        float(m["total"])
+
+        def run_f(n, state_f):
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(n):
+                state_f, m = step_f(state_f, bd, key)
+            float(m["total"])
+            return time.perf_counter() - t0, state_f
+
+        pers_f = []
+        for _ in range(3):
+            a, state_f = run_f(2, state_f)
+            b, state_f = run_f(12, state_f)
+            pers_f.append(max((b - a) / 10, 1e-9))
+        per_f = sorted(pers_f)[1]
+        extra["train_frames_per_sec_frozen_ge2e"] = round(B * T / per_f, 1)
+
     return frames_per_sec
 
 

@@ -253,6 +253,18 @@ def main() -> None:
         else:
             extra["serving_full"] = "skipped (budget)"
 
+    # --- frozen-encoder train companion (recipe-aligned config) -----------
+    if not os.environ.get("BENCH_SKIP_FROZEN_TRAIN") \
+            and not os.environ.get("BENCH_SKIP_TRAIN") \
+            and time.perf_counter() - _T0 < budget:
+        _stage("frozen-GE2E train-step benchmark")
+        try:
+            _bench_train_frozen(jax, jnp, default_hparams, trainer_lib, extra)
+        except Exception as e:
+            extra["train_frames_per_sec_frozen_ge2e"] = (
+                f"failed ({type(e).__name__}: {e})"[:300]
+            )
+
     # --- recommended serving vocoder config (PROFILE.md): momentum 0.99 at
     # 30 iterations beats plain-60 quality at roughly half the vocode time.
     # (After the serving sections: those carry the judge-critical trained-
@@ -899,45 +911,59 @@ def _bench_train(jax, jnp, default_hparams, trainer_lib, extra: dict) -> float:
         extra["train_step_tflops"] = round(flops / 1e12, 3)
         extra["train_mfu"] = round(flops / per / _peak_flops(jax), 4)
 
-    # Companion number: frozen speaker encoder. The reference trains the
-    # synthesizer against a FIXED (pretrained) GE2E embedding (SURVEY.md
-    # section 2 "fixed speaker embedding", section 3.1 "possibly frozen/
-    # pretrained"), and this repo's shipped SV2TTS recipe does the same
-    # (demo/train_serving.py: GE2E pretrain, then Freeze for TTS). The
-    # headline `train_frames_per_sec` keeps the conservative joint-training
-    # config for round-over-round comparability; this row records the
-    # recipe-aligned config, where XLA dead-code-eliminates the whole GE2E
-    # backward (measured +10%, PROFILE.md "Frozen-encoder train step").
-    if not os.environ.get("BENCH_SKIP_FROZEN_TRAIN"):
-        hp_f = hp.replace(Speaker_Embedding={"GE2E": {"Freeze": True}})
-        models_f = trainer_lib.build_models(hp_f)
-        state_f = trainer_lib.init_state(
-            hp_f, models_f, jax.random.PRNGKey(0), batch
-        )
-        step_f = jax.jit(
-            trainer_lib.make_train_step(hp_f, models_f), donate_argnums=0
-        )
-        _stage("running frozen-GE2E train step")
-        state_f, m = step_f(state_f, bd, key)
-        float(m["total"])
-
-        def run_f(n, state_f):
-            t0 = time.perf_counter()
-            m = None
-            for _ in range(n):
-                state_f, m = step_f(state_f, bd, key)
-            float(m["total"])
-            return time.perf_counter() - t0, state_f
-
-        pers_f = []
-        for _ in range(3):
-            a, state_f = run_f(2, state_f)
-            b, state_f = run_f(12, state_f)
-            pers_f.append(max((b - a) / 10, 1e-9))
-        per_f = sorted(pers_f)[1]
-        extra["train_frames_per_sec_frozen_ge2e"] = round(B * T / per_f, 1)
-
     return frames_per_sec
+
+
+def _bench_train_frozen(jax, jnp, default_hparams, trainer_lib,
+                        extra: dict) -> None:
+    """Companion number: frozen speaker encoder. The reference trains the
+    synthesizer against a FIXED (pretrained) GE2E embedding (SURVEY.md
+    section 2 "fixed speaker embedding", section 3.1 "possibly frozen/
+    pretrained"), and this repo's shipped SV2TTS recipe does the same
+    (demo/train_serving.py: GE2E pretrain, then Freeze for TTS). The
+    headline `train_frames_per_sec` keeps the conservative joint-training
+    config for round-over-round comparability; this row records the
+    recipe-aligned config, where XLA dead-code-eliminates the whole GE2E
+    backward (measured +10%, PROFILE.md "Frozen-encoder train step")."""
+    hp = default_hparams().replace(Speaker_Embedding={"GE2E": {"Freeze": True}})
+    models = trainer_lib.build_models(hp)
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "96"))
+    r = int(hp.Decoder.get("N_Frames_Per_Step", 1))
+    S, T = 100, 400 - (400 % r)
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": rng.integers(2, 30, size=(B, S)).astype(np.int32),
+        "token_lengths": np.full((B,), S, np.int32),
+        "mels": rng.uniform(0, 1, size=(B, T, hp.Sound.Mel_Dim)).astype(np.float32),
+        "mel_lengths": np.full((B,), T, np.int32),
+        "spects": rng.uniform(0, 1, size=(B, T, hp.Sound.Spectrogram_Dim)).astype(np.float32),
+        "ref_mels": rng.uniform(
+            0, 1, size=(B, hp.Speaker_Embedding.GE2E.Window_Length, hp.Sound.Mel_Dim)
+        ).astype(np.float32),
+        "speaker_ids": np.zeros((B,), np.int32),
+    }
+    state = trainer_lib.init_state(hp, models, jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer_lib.make_train_step(hp, models), donate_argnums=0)
+    bd = jax.tree.map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, bd, key)
+    float(m["total"])
+
+    def run(n, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, bd, key)
+        float(m["total"])
+        return time.perf_counter() - t0, state
+
+    pers = []
+    for _ in range(3):
+        a, state = run(2, state)
+        b, state = run(12, state)
+        pers.append(max((b - a) / 10, 1e-9))
+    per = sorted(pers)[1]
+    extra["train_frames_per_sec_frozen_ge2e"] = round(B * T / per, 1)
 
 
 if __name__ == "__main__":

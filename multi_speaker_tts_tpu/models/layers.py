@@ -78,12 +78,24 @@ class BiLSTM(nn.Module):
     hidden_size: int  # total output size; each direction gets half
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    # "pallas": fused bidirectional resident-weight kernel
+    # (ops/birnn_pallas.py) — falls back to the XLA direction-batched scan
+    # for f32, non-lane hidden sizes, or non-TPU backends, so it is safe
+    # as the default. "fused": force the XLA scan.
+    backend: str = "pallas"
 
     @nn.compact
     def __call__(self, x):
         half = self.hidden_size // 2
         fwd = _LSTMParamBank(x.shape[-1], half, name="forward")()
         bwd = _LSTMParamBank(x.shape[-1], half, name="backward")()
+        if self.backend == "pallas":
+            from multi_speaker_tts_tpu.ops import birnn_pallas
+
+            return birnn_pallas.bilstm_pallas(
+                fwd, bwd, x, compute_dtype=self.compute_dtype,
+                unroll=self.unroll,
+            )
         return lstm_ops.bilstm_fused(
             fwd, bwd, x, compute_dtype=self.compute_dtype, unroll=self.unroll
         )
@@ -137,12 +149,20 @@ class BiGRU(nn.Module):
     hidden_size: int  # total output size; each direction gets half
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    backend: str = "pallas"  # same dispatch contract as ``BiLSTM.backend``
 
     @nn.compact
     def __call__(self, x):
         half = self.hidden_size // 2
         fwd = _GRUParamBank(x.shape[-1], half, name="forward")()
         bwd = _GRUParamBank(x.shape[-1], half, name="backward")()
+        if self.backend == "pallas":
+            from multi_speaker_tts_tpu.ops import birnn_pallas
+
+            return birnn_pallas.bigru_pallas(
+                fwd, bwd, x, compute_dtype=self.compute_dtype,
+                unroll=self.unroll,
+            )
         return gru_ops.bigru_fused(
             fwd, bwd, x, compute_dtype=self.compute_dtype, unroll=self.unroll
         )

@@ -1,7 +1,14 @@
 """Benchmark: batched zero-shot synthesis + training throughput on the real
-TPU chip. Prints ONE JSON line:
+TPU chip. Prints ONE **compact** JSON line:
 
-    {"metric", "value", "unit", "vs_baseline", "extra": {...}}
+    {"metric", "value", "unit", "vs_baseline", "train_frames_per_sec",
+     "extra_file": "BENCH_EXTRA.json"}
+
+The full extras dict is written to ``BENCH_EXTRA.json`` next to this file
+instead of being inlined: round 4's inline-extras line grew past the
+driver's 2000-char tail capture and the canonical BENCH_r04.json recorded
+``"parsed": null`` (VERDICT r4 item 1). The compact line stays well under
+that limit; everything else lands in the committed sidecar.
 
 Headline metric (BASELINE.json:5 target): batched synthesis x-realtime per
 TPU core with a CONSTANT workload - GE2E enrollment embedding, Tacotron AR
@@ -103,13 +110,12 @@ def main() -> None:
 
     if os.environ.get("BENCH_MODE") == "train":
         value = _bench_train(jax, jnp, default_hparams, trainer_lib, extra)
-        print(json.dumps({
+        _emit({
             "metric": "teacher_forced_train_mel_frames_per_sec_per_chip",
             "value": round(value, 1),
             "unit": "frames/sec",
             "vs_baseline": None,
-            "extra": extra,
-        }))
+        }, extra)
         return
 
     hp = default_hparams()
@@ -373,13 +379,36 @@ def main() -> None:
             audio_seconds / _two_point(timed_q), 2
         )
 
-    print(json.dumps({
+    line = {
         "metric": "batched_synthesis_x_realtime_per_core",
         "value": round(x_realtime, 2),
         "unit": "x_realtime",
         "vs_baseline": round(x_realtime / 20.0, 3),
-        "extra": extra,
-    }))
+    }
+    # The two headline contract numbers ride on the compact line itself so
+    # the driver-parsed artifact carries them even if the sidecar is lost.
+    if isinstance(extra.get("train_frames_per_sec"), (int, float)):
+        line["train_frames_per_sec"] = extra["train_frames_per_sec"]
+    if isinstance(extra.get("serving_full_x_realtime"), (int, float)):
+        line["serving_full_x_realtime"] = extra["serving_full_x_realtime"]
+    _emit(line, extra)
+
+
+def _emit(line: dict, extra: dict) -> None:
+    """Write the full extras dict to BENCH_EXTRA.json (committed sidecar)
+    and print the compact line as the FINAL stdout line. The compact line
+    must stay well under the driver's 2000-char tail capture."""
+    import pathlib
+
+    sidecar = pathlib.Path(__file__).resolve().parent / "BENCH_EXTRA.json"
+    try:
+        sidecar.write_text(json.dumps({**line, "extra": extra}, indent=1))
+        line["extra_file"] = sidecar.name
+    except OSError as e:  # read-only checkout: keep the compact line anyway
+        line["extra_file"] = f"unwritable ({e})"
+    out = json.dumps(line)
+    assert len(out) < 1900, f"compact bench line too long ({len(out)})"
+    print(out)
 
 
 def _lat_ms(samples_s) -> dict:

@@ -358,7 +358,12 @@ def _stack_bwd(interpret, res, cts):
         last = li == len(layers) - 1
         dG = lstm_seq_layer_bwd(
             p.w_hh, gates, c_prev,
-            d_hT if last else jnp.zeros_like(d_hT),
+            # Non-final layers get a zero h_T cotangent sized by THEIR OWN
+            # hidden width (w_hh is (H, 4H)) — zeros_like(d_hT) would only
+            # be correct for stacks with a uniform hidden size.
+            d_hT if last else jnp.zeros(
+                (Bp, p.w_hh.shape[0]), d_hT.dtype
+            ),
             d_ys,
             interpret=interpret,
         )  # (T, Bp, 4H) bf16

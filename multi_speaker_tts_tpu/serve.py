@@ -53,7 +53,7 @@ import numpy as np
 
 from multi_speaker_tts_tpu import text as text_frontend
 from multi_speaker_tts_tpu.audio import wav_io
-from multi_speaker_tts_tpu.inference import Synthesizer
+from multi_speaker_tts_tpu.inference import Synthesizer, _decode_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +430,24 @@ class TTSServer:
                 "name), 'speaker_embedding' (floats), or 'speaker_id'"
             ))
         max_steps = payload.get("max_steps")
-        max_steps = None if max_steps is None else int(max_steps)
+        if max_steps is not None:
+            try:
+                max_steps = int(max_steps)
+            except (TypeError, ValueError):
+                return None, (400, "application/json", _jerr(
+                    f"'max_steps' must be an integer, got {max_steps!r}"
+                ))
+            if max_steps < 1:
+                return None, (400, "application/json",
+                              _jerr("'max_steps' must be >= 1"))
+            # Quantize the client value to a pow2 bucket (no floor, so
+            # small explicit budgets stay exact): every DISTINCT raw value
+            # would otherwise become a permanent compile-cache key, letting
+            # a client force unbounded compile growth on a public endpoint;
+            # pow2 caps the key set at ~log2(Max_Step) values.
+            max_steps = _decode_bucket(
+                max_steps, int(self.synth.hp.Decoder.Max_Step), floor=1
+            )
         return (text, spk, speaker_id, max_steps), None
 
     def handle_synthesize(self, payload: dict, accept: str) -> tuple:
@@ -592,10 +609,22 @@ def _make_handler(server: TTSServer):
                 self._reply(*err)
                 return
             text, spk, speaker_id, max_steps = parsed
+            # segment_steps is a compile-cache key dimension too: accept
+            # only a small fixed range so clients can't mint programs.
+            try:
+                segment_steps = int(payload.get("segment_steps", 16))
+            except (TypeError, ValueError):
+                self._reply(400, "application/json", _jerr(
+                    "'segment_steps' must be an integer"))
+                return
+            if not 1 <= segment_steps <= 64:
+                self._reply(400, "application/json", _jerr(
+                    "'segment_steps' must be in [1, 64]"))
+                return
             try:
                 gen = server.stream_pcm(
                     text, spk, speaker_id=speaker_id, max_steps=max_steps,
-                    segment_steps=int(payload.get("segment_steps", 16)),
+                    segment_steps=segment_steps,
                 )
                 first = next(gen, b"")  # surface validation/compile errors
             except NotImplementedError as exc:  # e.g. CBHG linear head

@@ -144,10 +144,24 @@ def generate_synthetic_dataset(
     n_utterances: int = 8,
     seed: int = 0,
     num_workers: int = 1,
+    voice: str = "legacy",
+    speaker_offset: int = 0,
 ) -> dict:
     """Deterministic synthetic speech-like corpus (no LJSpeech/VCTK on this
     machine): per-speaker fundamental + harmonics with varying duration.
-    Used by tests and the benchmark harness."""
+    Used by tests and the benchmark harness.
+
+    ``voice="legacy"`` (default) keeps the original recipe bit-for-bit:
+    f0 = 110 * 1.3^s, 3 fixed-decay harmonics — distinct up to ~8 speakers
+    but f0 passes Nyquist beyond that. ``voice="rich"`` supports the
+    32-64-speaker verification eval (VERDICT r4 item 3): each speaker draws
+    a bounded-f0 + harmonic-timbre profile from its own seeded generator —
+    log-spaced f0 in [85, 320] Hz with per-speaker jitter, 6 harmonics with
+    per-speaker amplitude decay and two formant-like resonance bumps, and a
+    per-speaker vibrato rate — so identity lives in timbre, not just pitch,
+    and nearby-f0 speakers force the encoder to learn more than a pitch
+    detector. ``speaker_offset`` shifts the speaker-profile indices (and
+    names) so a held-out corpus has disjoint voices from a training one."""
     rng = np.random.default_rng(seed)
     out_dir = pathlib.Path(out_dir)
     wav_dir = out_dir / "wavs"
@@ -164,17 +178,46 @@ def generate_synthetic_dataset(
         "better late than never.",
     ]
     items = []
-    for s in range(n_speakers):
-        f0 = 110.0 * (1.3**s)  # distinct per-speaker fundamental
+    for s_local in range(n_speakers):
+        s = s_local + speaker_offset
+        if voice == "rich":
+            spk_rng = np.random.default_rng(10_000 + s)
+            # Log-spaced base pitch over [85, 320] Hz, decorrelated from the
+            # speaker index by jitter; wraps every 24 profiles.
+            f0 = 85.0 * (320.0 / 85.0) ** (((s * 7) % 24) / 24.0)
+            f0 *= float(spk_rng.uniform(0.96, 1.04))
+            n_harm = 6
+            decay = float(spk_rng.uniform(0.45, 0.75))
+            amps = decay ** np.arange(n_harm)
+            # Two formant-like resonances: boost harmonics nearest two
+            # per-speaker center frequencies.
+            for fc in spk_rng.uniform(300.0, 3200.0, size=2):
+                amps *= 1.0 + 1.5 * np.exp(
+                    -((f0 * np.arange(1, n_harm + 1) - fc) ** 2)
+                    / (2 * 250.0**2)
+                )
+            amps /= amps.max()
+            vib_rate = float(spk_rng.uniform(3.0, 7.0))
+            vib_depth = float(spk_rng.uniform(0.005, 0.03))
+        else:
+            f0 = 110.0 * (1.3**s)  # distinct per-speaker fundamental
+            n_harm = 3
+            amps = 0.5 ** np.arange(n_harm)
+            vib_rate = None  # legacy: utterance-indexed vibrato
+            vib_depth = 0.02
         for u in range(n_utterances):
             dur = float(rng.uniform(0.4, 1.2))
             t = np.arange(int(dur * sr)) / sr
-            vib = 1.0 + 0.02 * np.sin(2 * np.pi * (2 + u % 3) * t)
+            rate = vib_rate if vib_rate is not None else (2 + u % 3)
+            vib = 1.0 + vib_depth * np.sin(2 * np.pi * rate * t)
             wav = sum(
-                (0.5**k) * np.sin(2 * np.pi * f0 * (k + 1) * vib * t) for k in range(3)
+                amps[k] * np.sin(2 * np.pi * f0 * (k + 1) * vib * t)
+                for k in range(n_harm)
             )
             env = np.minimum(1, 20 * t) * np.minimum(1, 20 * (t[-1] - t + 1e-6))
-            wav = (0.4 * wav * env).astype(np.float32)
+            wav = (0.4 * wav / max(np.abs(wav).max(), 1e-6) * env
+                   ).astype(np.float32) if voice == "rich" else (
+                0.4 * wav * env).astype(np.float32)
             path = wav_dir / f"spk{s}_utt{u}.wav"
             wav_io.save_wav(path, wav, sr)
             items.append((str(path), sentences[u % len(sentences)], f"SPK{s}"))

@@ -706,6 +706,59 @@ def _bench_serving_full(jax, extra: dict) -> None:
     extra["serving_full_int8_len_delta_frames"] = dlen
     extra["serving_full_int8_latency_ms"] = _lat_ms(lat_q)
 
+    # DEVICE-TIME ledger (VERDICT r4 item 6): the wall-clock rows above are
+    # tunnel-bound (PROFILE.md traced ~3 ms device vs ~110 ms host/tunnel
+    # idle per B=8 request). These rows time the on-chip work itself by
+    # two-point slope with outputs kept on device: the fused full request
+    # (decode + Griffin-Lim vocode in one program) and the decode alone,
+    # f32 and int8 — the deployment-meaningful per-request latency floor.
+    _stage("serving-full bench: device-time ledger")
+
+    def device_ms(s, vocode: bool) -> float:
+        def run(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = s.synthesize(
+                    texts, spk, vocode=vocode, split_vocode=False,
+                    return_linear=False, early_exit=True,
+                    return_device=True,
+                )
+            np.asarray(jax.device_get(o["mel_lengths"]))
+            return time.perf_counter() - t0
+
+        run(1)  # compile + warm
+        t_lo = min(run(1) for _ in range(3))
+        t_hi = min(run(5) for _ in range(3))
+        return round((t_hi - t_lo) / 4 * 1e3, 2)
+
+    extra["serving_full_device_ms"] = device_ms(synth, vocode=True)
+    extra["serving_full_decode_device_ms"] = device_ms(synth, vocode=False)
+    extra["serving_full_int8_device_ms"] = device_ms(synth_q, vocode=True)
+    extra["serving_full_int8_decode_device_ms"] = device_ms(
+        synth_q, vocode=False)
+
+    # Resident-weight int8 Pallas decode kernel (ops/decode_pallas.py,
+    # VERDICT r4 item 4): the whole AR chunk — prenet, both LSTM layers,
+    # location-sensitive attention, projections — runs in one pallas_call
+    # with the L0 weights pinned int8 in VMEM. Quality gate: mel L1 vs the
+    # f32 path on the same trained checkpoint.
+    _stage("serving-full bench: pallas int8 decode kernel")
+    synth_p = Synthesizer.from_compact(str(ckpt), quantize="int8_pallas")
+    out_p = synth_p.synthesize(texts, spk, return_linear=False)
+    l1p, dlenp = [], []
+    for rf, rp in zip(out, out_p):
+        L = min(int(rf["mel_length"]), int(rp["mel_length"]))
+        l1p.append(float(np.abs(
+            np.asarray(rf["mel"])[:L] - np.asarray(rp["mel"])[:L]
+        ).mean()))
+        dlenp.append(int(rp["mel_length"]) - int(rf["mel_length"]))
+    extra["serving_full_int8p_mel_l1_mean"] = round(float(np.mean(l1p)), 5)
+    extra["serving_full_int8p_len_delta_frames"] = dlenp
+    extra["serving_full_int8p_device_ms"] = device_ms(synth_p, vocode=True)
+    extra["serving_full_int8p_decode_device_ms"] = device_ms(
+        synth_p, vocode=False)
+
 
 def _http_stream_ttfa(synth, spk, text: str, repeats: int = 3) -> list:
     """POST /stream against an in-process TTSServer on a loopback port;

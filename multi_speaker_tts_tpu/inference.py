@@ -102,7 +102,12 @@ class Synthesizer:
 
     def __init__(self, hp, params, batch_stats, seed: int = 0, mesh=None,
                  quantize: str | None = None):
-        if quantize is not None:
+        if quantize == "int8_pallas":
+            # Resident-weight int8 Pallas decode segment
+            # (ops/decode_pallas.py); falls back to the XLA paths off-TPU
+            # or on unsupported widths.
+            hp = hp.replace(Decoder={"Pallas_Decode": True})
+        elif quantize is not None:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             # Weight-only int8 for the AR decode loop's LSTM GEMMs: halves
@@ -898,7 +903,7 @@ def main() -> None:
                         help="stream chunks to <out>/utt_<i>.wav as they "
                              "decode (Synthesizer.stream); prints per-chunk "
                              "timing instead of alignments")
-    parser.add_argument("-quantize", default=None, choices=["int8"],
+    parser.add_argument("-quantize", default=None, choices=["int8", "int8_pallas"],
                         help="weight-only quantization for the AR decode "
                              "loop (serving speed knob)")
     args = parser.parse_args()

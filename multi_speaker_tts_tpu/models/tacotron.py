@@ -144,6 +144,12 @@ class Decoder(nn.Module):
     # Decoder.Quantize_Int8 / Synthesizer(quantize="int8")); never applies
     # to the teacher-forced training path.
     quantize_int8: bool = False
+    # Resident-weight Pallas AR decode segment (ops/decode_pallas.py):
+    # int8 L0 weights pinned in VMEM for a whole chunk, L1 streamed as
+    # column tiles. Serving knob (Decoder.Pallas_Decode /
+    # Synthesizer(quantize="int8_pallas")); inference-only, int8 by
+    # construction, auto-falls back off-TPU or on unsupported widths.
+    pallas_decode: bool = False
 
     @nn.compact
     def __call__(  # noqa: D401
@@ -208,6 +214,27 @@ class Decoder(nn.Module):
         # compute-dtype fused matrices). Built once here, outside the loop.
         ar_fused = dscan.quantize_fused(cellp) if self.quantize_int8 else None
 
+        kernel_segment_fn = None
+        if self.pallas_decode:
+            from multi_speaker_tts_tpu.ops import decode_pallas as dkp
+
+            if (dkp.supported(cellp, self.prenet_sizes[-1],
+                              memory.shape[-1], memory.shape[1])
+                    and jax.default_backend() == "tpu"):
+                _bundle = dkp.prepare_bundle(
+                    cellp, prenet_ws, frame_w, stop_w, self.mel_dim, r,
+                )
+                _mel, _r, _drop = self.mel_dim, r, self.prenet_dropout
+
+                def kernel_segment_fn(keys_, mem_, mask_, carry_, prev_,
+                                      t0_, stopped_, lengths_, K_, th_,
+                                      rng_):
+                    return dkp.decoder_ar_segment_pallas(
+                        _bundle, keys_, mem_, mask_, carry_, prev_, t0_,
+                        stopped_, lengths_, K_, th_, rng_, _mel, _r,
+                        prenet_dropout=_drop,
+                    )
+
         if segment is not None:
             if isinstance(segment, str):  # "init": zero decode state
                 carry0 = dscan.initial_carry(
@@ -227,15 +254,24 @@ class Decoder(nn.Module):
                 return frames, stop_logit
 
             K = max_steps  # steps THIS segment (static)
-            carry, prev, stopped, lengths, f_k, s_k, w_k = (
-                dscan.decoder_ar_segment(
-                    cellp, prenet_fn_s, project_fn_s, keys, mem_f32,
-                    mask_f32, segment["carry"], segment["prev"],
-                    segment["t0"], segment["stopped"], segment["lengths"],
-                    K, stop_threshold, rng, self.mel_dim,
-                    self.compute_dtype, self.scan_unroll, fused=ar_fused,
+            if kernel_segment_fn is not None:
+                carry, prev, stopped, lengths, f_k, s_k, w_k = (
+                    kernel_segment_fn(
+                        keys, mem_f32, mask_f32, segment["carry"],
+                        segment["prev"], segment["t0"], segment["stopped"],
+                        segment["lengths"], K, stop_threshold, rng,
+                    )
                 )
-            )
+            else:
+                carry, prev, stopped, lengths, f_k, s_k, w_k = (
+                    dscan.decoder_ar_segment(
+                        cellp, prenet_fn_s, project_fn_s, keys, mem_f32,
+                        mask_f32, segment["carry"], segment["prev"],
+                        segment["t0"], segment["stopped"], segment["lengths"],
+                        K, stop_threshold, rng, self.mel_dim,
+                        self.compute_dtype, self.scan_unroll, fused=ar_fused,
+                    )
+                )
             mel_seg = jnp.swapaxes(f_k, 0, 1).reshape(B, K * r, self.mel_dim)
             return mel_seg, jnp.swapaxes(s_k, 0, 1), jnp.swapaxes(w_k, 0, 1), {
                 "carry": carry, "prev": prev, "stopped": stopped,
@@ -297,7 +333,7 @@ class Decoder(nn.Module):
                     n_steps, stop_threshold, rng, self.mel_dim,
                     self.compute_dtype, stopped_init=stopped_init,
                     chunk=self.early_exit_chunk, unroll=self.scan_unroll,
-                    fused=ar_fused,
+                    fused=ar_fused, segment_fn=kernel_segment_fn,
                 )
             else:
                 frames, stops, aligns = dscan.decoder_ar_scan(
@@ -457,6 +493,7 @@ class Tacotron(nn.Module):
                 bwd_unroll=hp.Decoder.get("Backward_Unroll", 0),
                 early_exit_chunk=hp.Decoder.get("Early_Exit_Chunk", 16),
                 quantize_int8=hp.Decoder.get("Quantize_Int8", False),
+                pallas_decode=hp.Decoder.get("Pallas_Decode", False),
             ),
             postnet=dict(
                 conv_stacks=hp.Postnet.Conv.Stacks,

@@ -525,8 +525,14 @@ def decoder_ar_early_exit(
     chunk: int = 16,
     unroll: int = 1,
     fused: tuple | None = None,  # e.g. quantize_fused(p) for int8 serving
+    segment_fn=None,  # custom K-step segment body (e.g. the Pallas kernel)
 ):
     """AR decode as a while_loop exiting once EVERY utterance stopped.
+
+    ``segment_fn``, when given, replaces :func:`decoder_ar_segment` as the
+    chunk body — signature ``(keys, memory, mask, carry, prev, t0, stopped,
+    lengths, K, stop_threshold, rng) -> (carry, prev, stopped, lengths,
+    frames, stops, aligns)`` (ops/decode_pallas.py provides one).
 
     Static shapes (buffers allocated at n_steps); only the trip count is
     dynamic, so serving latency tracks speech length. ``stopped_init``
@@ -585,11 +591,17 @@ def decoder_ar_early_exit(
 
     def body_fn(state):
         carry, prev, t, stopped, lengths, (mel_b, stop_b, align_b) = state
-        carry, prev, stopped, lengths, f_k, s_k, w_k = decoder_ar_segment(
-            p, prenet_apply_fn, project_fn, keys, memory, mask,
-            carry, prev, t, stopped, lengths, K, stop_threshold, rng,
-            mel_dim, compute_dtype, unroll, fused=fused,
-        )
+        if segment_fn is not None:
+            carry, prev, stopped, lengths, f_k, s_k, w_k = segment_fn(
+                keys, memory, mask, carry, prev, t, stopped, lengths, K,
+                stop_threshold, rng,
+            )
+        else:
+            carry, prev, stopped, lengths, f_k, s_k, w_k = decoder_ar_segment(
+                p, prenet_apply_fn, project_fn, keys, memory, mask,
+                carry, prev, t, stopped, lengths, K, stop_threshold, rng,
+                mel_dim, compute_dtype, unroll, fused=fused,
+            )
         mel_b = jax.lax.dynamic_update_slice(mel_b, f_k, (t, 0, 0))
         stop_b = jax.lax.dynamic_update_slice(stop_b, s_k, (t, 0))
         align_b = jax.lax.dynamic_update_slice(align_b, w_k, (t, 0, 0))

@@ -454,6 +454,16 @@ def decode_segment_pallas(
             pltpu.VMEM((Bp, 2 * H + D), jnp.int8),  # quantized x1
             pltpu.VMEM((Bp, 1), jnp.float32),  # x1 row scale
         ],
+        # The serving-shape buffer set (8.4 MB resident layer-0 weights +
+        # streamed layer-1 tiles + memory/keys/projection operands) totals
+        # ~17.7 MB with Mosaic's pipelining buffers — just over the 16 MB
+        # DEFAULT scoped-VMEM budget, while v5e physical VMEM is 128 MB.
+        # Pin an explicit limit so the kernel never rides the compiler's
+        # default-budget edge (a libtpu update mid-round moved exactly that
+        # edge and broke compilation at the shipped shape).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         bundle["w0q"], bundle["s0"], bundle["b0"],

@@ -412,6 +412,97 @@ def main() -> None:
             "pass": fwd_err_p <= 5e-3 and grad_rel_p <= grad_tol,
         }
 
+    # --- resident-weight int8 AR decode segment (serving kernel) ------------
+    # Compiled-mode companion to tests/test_decode_pallas.py (which runs the
+    # kernel only in interpret mode on CPU): one production-shape K-step
+    # segment (B=8, S=48, H=1024, chunk 16, always-on prenet dropout 0.5 with
+    # the shared rng stream) against the XLA int8 segment — the same
+    # quantization scheme, so the only gap is MXU s8 accumulation order plus
+    # activation-quantization rounding flips compounding over the feedback.
+    from multi_speaker_tts_tpu.models.layers import prenet_apply
+    from multi_speaker_tts_tpu.ops import decode_pallas as dkp
+    from multi_speaker_tts_tpu.ops import decoder_scan as dscan
+    from multi_speaker_tts_tpu.ops.lstm import LSTMParams as _LP
+
+    B_d, S_d, K_d = 8, 48, 16
+    H_d, D_d, P_d, A_d, MEL_d, R_d = 1024, 768, 256, 128, 80, 2
+
+    def wd(*shape, scale=0.05):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+    cellp_d = dscan.DecoderScanParams(
+        lstm=(
+            _LP(w_ih=wd(P_d + D_d, 4 * H_d), w_hh=wd(H_d, 4 * H_d),
+                b=wd(4 * H_d)),
+            _LP(w_ih=wd(H_d + D_d, 4 * H_d), w_hh=wd(H_d, 4 * H_d),
+                b=wd(4 * H_d)),
+        ),
+        attention=dscan.AttentionParams(
+            wq=wd(H_d, A_d), conv_kernel=wd(31, 2, 32),
+            wloc=wd(32, A_d), v=wd(A_d, 1),
+        ),
+    )
+    prenet_ws_d = [(wd(MEL_d, P_d), wd(P_d)), (wd(P_d, P_d), wd(P_d))]
+    frame_w_d = (wd(H_d + D_d, MEL_d * R_d), wd(MEL_d * R_d))
+    stop_w_d = (wd(H_d + D_d, 1), wd(1))
+    keys_d = wd(B_d, S_d, A_d, scale=0.3)
+    memory_d = wd(B_d, S_d, D_d, scale=0.3)
+    mask_d = jnp.ones((B_d, S_d), jnp.float32)
+    rng_d = jax.random.PRNGKey(11)
+
+    def prenet_fn_d(frame, rk):
+        return prenet_apply(prenet_ws_d, frame, 0.5, rk)
+
+    def project_fn_d(x):
+        frames = jnp.dot(x, frame_w_d[0]) + frame_w_d[1]
+        stop = (jnp.dot(x, stop_w_d[0]) + stop_w_d[1])[..., 0]
+        return frames, stop
+
+    carry_d = dscan.initial_carry(B_d, memory_d, 2, H_d)
+    prev_d = jnp.zeros((B_d, MEL_d), jnp.float32)
+    stopped_d = jnp.zeros((B_d,), bool)
+    lengths_d = jnp.zeros((B_d,), jnp.int32)
+    # threshold 1.5: sigmoid can never cross, so both arms decode exactly
+    # K_d steps and the length bookkeeping is deterministic.
+    seg_args = (carry_d, prev_d, jnp.int32(0), stopped_d, lengths_d, K_d,
+                1.5, rng_d, MEL_d)
+
+    if dkp.supported(cellp_d, P_d, D_d, S_d):
+        bundle_d = dkp.prepare_bundle(
+            cellp_d, prenet_ws_d, frame_w_d, stop_w_d, MEL_d, R_d)
+        ref_seg = jax.device_get(jax.jit(
+            lambda: dscan.decoder_ar_segment(
+                cellp_d, prenet_fn_d, project_fn_d, keys_d, memory_d,
+                mask_d, *seg_args, jnp.float32,
+                fused=dscan.quantize_fused(cellp_d)))())
+        got_seg = jax.device_get(jax.jit(
+            lambda: dkp.decoder_ar_segment_pallas(
+                bundle_d, keys_d, memory_d, mask_d, *seg_args, R_d,
+                prenet_dropout=0.5))())
+        # outputs: carry, prev, stopped, lengths, frames, stops, aligns
+        frames_err = float(np.abs(
+            np.asarray(got_seg[4], np.float32)
+            - np.asarray(ref_seg[4], np.float32)).max())
+        aligns_err = float(np.abs(
+            np.asarray(got_seg[6], np.float32)
+            - np.asarray(ref_seg[6], np.float32)).max())
+        lengths_equal = bool(
+            (np.asarray(got_seg[3]) == np.asarray(ref_seg[3])).all())
+        results["checks"]["decode_pallas_int8_vs_xla_int8"] = {
+            "shape": [B_d, S_d, K_d, H_d, D_d],
+            "frames_max_abs_err": frames_err,
+            "aligns_max_abs_err": aligns_err,
+            "lengths_equal": lengths_equal,
+            "tolerance": 1e-2,
+            "pass": frames_err <= 1e-2 and aligns_err <= 1e-2
+            and lengths_equal,
+        }
+    else:  # pragma: no cover - the production shape is always supported
+        results["checks"]["decode_pallas_int8_vs_xla_int8"] = {
+            "error": "supported() rejected the production shape",
+            "pass": False,
+        }
+
     results["all_pass"] = all(c["pass"] for c in results["checks"].values())
     out = pathlib.Path(__file__).resolve().parents[1] / "KERNEL_PARITY.json"
     out.write_text(json.dumps(results, indent=2) + "\n")

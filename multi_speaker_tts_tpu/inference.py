@@ -107,6 +107,13 @@ class Synthesizer:
             # (ops/decode_pallas.py); falls back to the XLA paths off-TPU
             # or on unsupported widths.
             hp = hp.replace(Decoder={"Pallas_Decode": True})
+        elif quantize == "bf16_pallas":
+            # Full-precision resident-weight Pallas decode: both fused
+            # LSTM matrices live bf16 in VMEM (~40 MB at production
+            # width) — zero streamed weight bytes per step and the XLA
+            # bf16 gate numerics (no quantization error), so it is a
+            # pure speed knob for the DEFAULT-quality path.
+            hp = hp.replace(Decoder={"Pallas_Decode": "bf16"})
         elif quantize is not None:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
@@ -903,7 +910,7 @@ def main() -> None:
                         help="stream chunks to <out>/utt_<i>.wav as they "
                              "decode (Synthesizer.stream); prints per-chunk "
                              "timing instead of alignments")
-    parser.add_argument("-quantize", default=None, choices=["int8", "int8_pallas"],
+    parser.add_argument("-quantize", default=None, choices=["int8", "int8_pallas", "bf16_pallas"],
                         help="weight-only quantization for the AR decode "
                              "loop (serving speed knob)")
     args = parser.parse_args()

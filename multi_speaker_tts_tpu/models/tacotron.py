@@ -144,12 +144,15 @@ class Decoder(nn.Module):
     # Decoder.Quantize_Int8 / Synthesizer(quantize="int8")); never applies
     # to the teacher-forced training path.
     quantize_int8: bool = False
-    # Resident-weight Pallas AR decode segment (ops/decode_pallas.py):
-    # int8 L0 weights pinned in VMEM for a whole chunk, L1 streamed as
-    # column tiles. Serving knob (Decoder.Pallas_Decode /
-    # Synthesizer(quantize="int8_pallas")); inference-only, int8 by
-    # construction, auto-falls back off-TPU or on unsupported widths.
-    pallas_decode: bool = False
+    # Resident-weight Pallas AR decode segment (ops/decode_pallas.py).
+    # True / "int8": int8 L0 weights pinned in VMEM for a whole chunk, L1
+    # streamed as column tiles (Synthesizer(quantize="int8_pallas")).
+    # "bf16": BOTH fused matrices VMEM-resident in bf16 — zero streamed
+    # bytes and the XLA bf16 gate numerics, no quantization error
+    # (Synthesizer(quantize="bf16_pallas")). Serving knob
+    # (Decoder.Pallas_Decode); inference-only, auto-falls back off-TPU or
+    # on unsupported widths.
+    pallas_decode: bool | str = False
 
     @nn.compact
     def __call__(  # noqa: D401
@@ -218,11 +221,14 @@ class Decoder(nn.Module):
         if self.pallas_decode:
             from multi_speaker_tts_tpu.ops import decode_pallas as dkp
 
+            _mode = "bf16" if self.pallas_decode == "bf16" else "int8"
             if (dkp.supported(cellp, self.prenet_sizes[-1],
-                              memory.shape[-1], memory.shape[1])
+                              memory.shape[-1], memory.shape[1],
+                              mode=_mode)
                     and jax.default_backend() == "tpu"):
                 _bundle = dkp.prepare_bundle(
                     cellp, prenet_ws, frame_w, stop_w, self.mel_dim, r,
+                    quantize=self.pallas_decode != "bf16",
                 )
                 _mel, _r, _drop = self.mel_dim, r, self.prenet_dropout
 

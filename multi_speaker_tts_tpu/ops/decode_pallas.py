@@ -66,7 +66,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supported(p: DecoderScanParams, prenet_size: int, memory_dim: int,
-              S: int, compute_ok: bool = True) -> bool:
+              S: int, compute_ok: bool = True,
+              mode: str = "int8") -> bool:
     """Kernel capability gate: the production 2-layer decoder with
     lane-multiple widths and a small memory axis. Anything else falls back
     to the XLA paths."""
@@ -81,6 +82,14 @@ def supported(p: DecoderScanParams, prenet_size: int, memory_dim: int,
         return False
     if S > 256:
         return False  # keys/memory/energies VMEM budget
+    if mode == "bf16":
+        # Both fused matrices VMEM-resident in bf16: gate on the weight
+        # bytes actually fitting the kernel's 100 MB budget with room for
+        # the activations/operands (production width is ~40 MB).
+        w_bytes = 2 * 4 * H * ((prenet_size + memory_dim + H)
+                               + (2 * H + memory_dim))
+        if w_bytes > 80 * 1024 * 1024:
+            return False
     return compute_ok
 
 
@@ -95,12 +104,18 @@ def quantize_w(w: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def prepare_bundle(p: DecoderScanParams, prenet_ws, frame_w, stop_w,
-                   mel_dim: int, r: int) -> dict:
+                   mel_dim: int, r: int, quantize: bool = True) -> dict:
     """Pack + quantize every per-step weight for the kernel. Pure jnp (runs
     inside jit; XLA hoists it out of the decode loop).
 
     prenet_ws: [(w1 (mel, P1), b1), (w2 (P1, P2), b2)] — exactly 2 layers.
     frame_w / stop_w: (w (X, mel*r), b), (w (X, 1), b).
+
+    quantize=False keeps both fused LSTM weight matrices bf16 (the
+    FULL-PRECISION resident mode: ~40 MB of VMEM-resident weights instead
+    of int8's ~20 MB, zero streamed bytes AND zero quantization error —
+    the same numerics as the XLA bf16 gates). Scales are kept as dummy
+    ones so the operand plumbing is identical in both modes.
     """
     assert len(prenet_ws) == 2, "kernel supports the 2-layer Taco2 prenet"
     H = p.lstm[0].hidden_size
@@ -110,10 +125,16 @@ def prepare_bundle(p: DecoderScanParams, prenet_ws, frame_w, stop_w,
     w_p1 = jnp.pad(w_p1.astype(jnp.float32),
                    ((0, mel_pad - w_p1.shape[0]), (0, 0)))
 
-    w0q, s0 = quantize_w(jnp.concatenate(
-        [p.lstm[0].w_ih, p.lstm[0].w_hh], axis=0))
-    w1q, s1 = quantize_w(jnp.concatenate(
-        [p.lstm[1].w_ih, p.lstm[1].w_hh], axis=0))
+    w0cat = jnp.concatenate([p.lstm[0].w_ih, p.lstm[0].w_hh], axis=0)
+    w1cat = jnp.concatenate([p.lstm[1].w_ih, p.lstm[1].w_hh], axis=0)
+    if quantize:
+        w0q, s0 = quantize_w(w0cat)
+        w1q, s1 = quantize_w(w1cat)
+    else:
+        w0q = w0cat.astype(jnp.bfloat16)
+        s0 = jnp.ones((1, 4 * H), jnp.float32)
+        w1q = w1cat.astype(jnp.bfloat16)
+        s1 = jnp.ones((1, 4 * H), jnp.float32)
 
     # Fused frame+stop projection, f32 (tiny, and the XLA AR path projects
     # in f32 — keeping it f32 avoids a feedback-loop numerics fork).
@@ -137,6 +158,7 @@ def prepare_bundle(p: DecoderScanParams, prenet_ws, frame_w, stop_w,
         "wloc": ap.wloc.astype(jnp.float32),
         "v": ap.v.astype(jnp.float32),
         "mel_pad": mel_pad,
+        "quantized": quantize,
     }
 
 
@@ -154,7 +176,7 @@ def _kernel(w0q_ref, s0_ref, b0_ref,
             wo_ref, cumo_ref, ctxo_ref, prevo_ref,
             h0s, c0s, h1s, c1s, ws, cums, ctxs, prevs, g1s, x1qs, a1s,
             *, K: int, S: int, H: int, D: int, mel: int, r: int,
-            conv_k: int, dropout: float):
+            conv_k: int, dropout: float, quantized: bool):
     k = pl.program_id(0)
     j = pl.program_id(1)
     NJ = pl.num_programs(1)
@@ -194,15 +216,23 @@ def _kernel(w0q_ref, s0_ref, b0_ref,
         if dropout > 0.0:
             a2 = a2 * m2_ref[0]
 
-        # -- layer-0 gates (int8 resident weights) --------------------------
+        # -- layer-0 gates (resident weights: int8 or bf16) -----------------
         xh0 = jnp.concatenate([a2, ctxs[:], h0s[:]], axis=-1)
-        amax0 = jnp.maximum(
-            jnp.max(jnp.abs(xh0), axis=-1, keepdims=True), 1e-8) / 127.0
-        x0q = jnp.clip(jnp.round(xh0 / amax0), -127, 127).astype(jnp.int8)
-        g0 = jax.lax.dot_general(
-            x0q, w0q_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (amax0 * s0_ref[:]) + b0_ref[:]
+        if quantized:
+            amax0 = jnp.maximum(
+                jnp.max(jnp.abs(xh0), axis=-1, keepdims=True), 1e-8) / 127.0
+            x0q = jnp.clip(jnp.round(xh0 / amax0), -127, 127).astype(jnp.int8)
+            g0 = jax.lax.dot_general(
+                x0q, w0q_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (amax0 * s0_ref[:]) + b0_ref[:]
+        else:
+            # Same math as decoder_scan._gates' bf16 arm: bf16 operands,
+            # f32 accumulation, f32 bias add.
+            g0 = jnp.dot(
+                xh0.astype(jnp.bfloat16), w0q_ref[:],
+                preferred_element_type=jnp.float32,
+            ) + b0_ref[:]
         i0 = jax.nn.sigmoid(g0[:, :H])
         f0 = jax.nn.sigmoid(g0[:, H:2 * H])
         gg0 = jnp.tanh(g0[:, 2 * H:3 * H])
@@ -247,18 +277,28 @@ def _kernel(w0q_ref, s0_ref, b0_ref,
         ctx = jnp.sum(p_att[:, :, None] * mem_ref[:], axis=1)
         ctxs[:] = ctx
 
-        # -- quantize the layer-1 input once; tiles consume it --------------
+        # -- stage the layer-1 input once; tiles consume it -----------------
         xh1 = jnp.concatenate([h0, ctx, h1s[:]], axis=-1)
-        amax1 = jnp.maximum(
-            jnp.max(jnp.abs(xh1), axis=-1, keepdims=True), 1e-8) / 127.0
-        x1qs[:] = jnp.clip(jnp.round(xh1 / amax1), -127, 127).astype(jnp.int8)
-        a1s[:] = amax1
+        if quantized:
+            amax1 = jnp.maximum(
+                jnp.max(jnp.abs(xh1), axis=-1, keepdims=True), 1e-8) / 127.0
+            x1qs[:] = jnp.clip(
+                jnp.round(xh1 / amax1), -127, 127).astype(jnp.int8)
+            a1s[:] = amax1
+        else:
+            x1qs[:] = xh1.astype(jnp.bfloat16)
 
-    # -- layer-1 gates: one streamed column tile per inner grid step --------
-    g1_tile = jax.lax.dot_general(
-        x1qs[:], w1q_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (a1s[:] * s1_ref[:]) + b1_ref[:]
+    # -- layer-1 gates: one column tile per inner grid step (streamed in
+    # int8 mode; a single resident full-width "tile" in bf16 mode) ----------
+    if quantized:
+        g1_tile = jax.lax.dot_general(
+            x1qs[:], w1q_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a1s[:] * s1_ref[:]) + b1_ref[:]
+    else:
+        g1_tile = jnp.dot(
+            x1qs[:], w1q_ref[:], preferred_element_type=jnp.float32,
+        ) + b1_ref[:]
     g1s[:, pl.ds(j * CT, CT)] = g1_tile
 
     @pl.when(j == NJ - 1)
@@ -324,7 +364,14 @@ def decode_segment_pallas(
     Bp = _round_up(max(B, 8), 8)
     mel_pad = bundle["mel_pad"]
     conv_k = bundle["ck_w"].shape[0]
-    NJ = bundle["w1q"].shape[1] // _COL_TILE
+    quantized = bool(bundle.get("quantized", True))
+    # int8: layer-1 streams as 128-column tiles (the int8 resident set plus
+    # one double-buffered tile pair fits a modest VMEM budget). bf16: BOTH
+    # fused matrices are VMEM-resident (~40 MB at production width), so the
+    # "tile" is the full 4H width and the inner grid axis collapses to 1 —
+    # zero streamed bytes per step.
+    CT = _COL_TILE if quantized else bundle["w1q"].shape[1]
+    NJ = bundle["w1q"].shape[1] // CT
 
     def pad_b(a, rows=Bp):
         if a.shape[0] == rows:
@@ -377,11 +424,11 @@ def decode_segment_pallas(
                      memory_space=pltpu.VMEM),  # w0q (resident)
         pl.BlockSpec((1, 4 * H), c2, memory_space=pltpu.VMEM),  # s0
         pl.BlockSpec((1, 4 * H), c2, memory_space=pltpu.VMEM),  # b0
-        pl.BlockSpec((2 * H + D, _COL_TILE), lambda k, j: (0, j),
-                     memory_space=pltpu.VMEM),  # w1q tile (streamed)
-        pl.BlockSpec((1, _COL_TILE), lambda k, j: (0, j),
+        pl.BlockSpec((2 * H + D, CT), lambda k, j: (0, j),
+                     memory_space=pltpu.VMEM),  # w1q tile (or resident full)
+        pl.BlockSpec((1, CT), lambda k, j: (0, j),
                      memory_space=pltpu.VMEM),  # s1 tile
-        pl.BlockSpec((1, _COL_TILE), lambda k, j: (0, j),
+        pl.BlockSpec((1, CT), lambda k, j: (0, j),
                      memory_space=pltpu.VMEM),  # b1 tile
         pl.BlockSpec(bundle["wproj"].shape, c2, memory_space=pltpu.VMEM),
         pl.BlockSpec(bundle["bproj"].shape, c2, memory_space=pltpu.VMEM),
@@ -433,7 +480,7 @@ def decode_segment_pallas(
 
     kernel = functools.partial(
         _kernel, K=K, S=S, H=H, D=D, mel=mel_dim, r=r, conv_k=conv_k,
-        dropout=float(prenet_dropout),
+        dropout=float(prenet_dropout), quantized=quantized,
     )
     outs = pl.pallas_call(
         kernel,
@@ -451,18 +498,21 @@ def decode_segment_pallas(
             pltpu.VMEM((Bp, D), jnp.float32),  # ctx
             pltpu.VMEM((Bp, mel_pad), jnp.float32),  # prev (lane-padded)
             pltpu.VMEM((Bp, 4 * H), jnp.float32),  # g1 accumulator
-            pltpu.VMEM((Bp, 2 * H + D), jnp.int8),  # quantized x1
-            pltpu.VMEM((Bp, 1), jnp.float32),  # x1 row scale
+            pltpu.VMEM((Bp, 2 * H + D),
+                       jnp.int8 if quantized else jnp.bfloat16),  # x1 staged
+            pltpu.VMEM((Bp, 1), jnp.float32),  # x1 row scale (int8 only)
         ],
-        # The serving-shape buffer set (8.4 MB resident layer-0 weights +
-        # streamed layer-1 tiles + memory/keys/projection operands) totals
-        # ~17.7 MB with Mosaic's pipelining buffers — just over the 16 MB
-        # DEFAULT scoped-VMEM budget, while v5e physical VMEM is 128 MB.
-        # Pin an explicit limit so the kernel never rides the compiler's
-        # default-budget edge (a libtpu update mid-round moved exactly that
-        # edge and broke compilation at the shipped shape).
+        # int8: the serving-shape buffer set (8.4 MB resident layer-0
+        # weights + streamed layer-1 tiles + memory/keys/projection
+        # operands) totals ~17.7 MB with Mosaic's pipelining buffers — just
+        # over the 16 MB DEFAULT scoped-VMEM budget, while v5e physical
+        # VMEM is 128 MB. Pin an explicit limit so the kernel never rides
+        # the compiler's default-budget edge (a libtpu update mid-round
+        # moved exactly that edge and broke compilation at the shipped
+        # shape). bf16: both fused matrices resident (~40 MB) need a
+        # correspondingly larger budget.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=(48 if quantized else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -719,7 +719,7 @@ def main() -> None:
     parser.add_argument("-warmup", action="store_true",
                         help="pre-compile the serving programs before "
                              "accepting traffic")
-    parser.add_argument("-quantize", default=None, choices=["int8", "int8_pallas"],
+    parser.add_argument("-quantize", default=None, choices=["int8", "int8_pallas", "bf16_pallas"],
                         help="weight-only quantization for the AR decode "
                              "loop (serving speed knob)")
     args = parser.parse_args()

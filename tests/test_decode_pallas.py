@@ -231,3 +231,94 @@ def test_stopped_lengths_bookkeeping(setup):
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     assert np.asarray(got[3]).tolist() == [1, 0, 1]
+
+
+def _run_ref_bf16(setup, carry, prev, t0, stopped, lengths, threshold=0.5):
+    """XLA segment in the default serving numerics: bf16 gate matmuls
+    (fused=None builds the compute-dtype fused matrices), f32 everything
+    else — the arm the bf16 kernel mode must reproduce."""
+    cellp, prenet_ws, frame_w, stop_w, keys, memory, mask = setup
+
+    def prenet_fn(frame, rngkey):
+        x = frame
+        for wgt, b in prenet_ws:
+            x = jnp.maximum(jnp.dot(x, wgt) + b, 0.0)
+        return x
+
+    def project_fn(x):
+        frames = jnp.dot(x, frame_w[0]) + frame_w[1]
+        stop = (jnp.dot(x, stop_w[0]) + stop_w[1])[..., 0]
+        return frames, stop
+
+    return dscan.decoder_ar_segment(
+        cellp, prenet_fn, project_fn, keys, memory, mask,
+        carry, prev, t0, stopped, lengths, K, threshold,
+        jax.random.PRNGKey(9), MEL, jnp.bfloat16, fused=None,
+    )
+
+
+def _run_pallas_bf16(setup, carry, prev, t0, stopped, lengths,
+                     threshold=0.5, k=K):
+    cellp, prenet_ws, frame_w, stop_w, keys, memory, mask = setup
+    bundle = dkp.prepare_bundle(cellp, prenet_ws, frame_w, stop_w, MEL, R,
+                                quantize=False)
+    assert bundle["quantized"] is False
+    assert bundle["w0q"].dtype == jnp.bfloat16
+    return dkp.decoder_ar_segment_pallas(
+        bundle, keys, memory, mask, carry, prev, t0, stopped, lengths,
+        k, threshold, jax.random.PRNGKey(9), MEL, R,
+        prenet_dropout=0.0, interpret=True,
+    )
+
+
+def test_bf16_segment_parity_from_zero_state(setup):
+    """Full-precision resident mode: both arms run bf16 gate matmuls with
+    f32 accumulation and f32 attention/projections, so the only gap is
+    bf16 rounding-order noise compounding through the AR feedback."""
+    _, _, _, _, keys, memory, mask = setup
+    carry0 = dscan.initial_carry(B, memory, 2, H)
+    prev0 = jnp.zeros((B, MEL), jnp.float32)
+    stopped0 = jnp.zeros((B,), bool)
+    lengths0 = jnp.zeros((B,), jnp.int32)
+
+    ref = _run_ref_bf16(setup, carry0, prev0, jnp.int32(0), stopped0,
+                        lengths0)
+    got = _run_pallas_bf16(setup, carry0, prev0, jnp.int32(0), stopped0,
+                           lengths0)
+    names = ["carry", "prev", "stopped", "lengths", "frames", "stops",
+             "aligns"]
+    for name, a, b in zip(names, got, ref):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(la, np.float32), np.asarray(lb, np.float32),
+                atol=5e-3, rtol=5e-3, err_msg=name,
+            )
+
+
+def test_bf16_segment_parity_midstream_and_stops(setup):
+    """Chained bf16 segments from reference state, plus forced-stop
+    bookkeeping equality (negative threshold)."""
+    _, _, _, _, keys, memory, mask = setup
+    carry0 = dscan.initial_carry(B, memory, 2, H)
+    prev0 = jnp.zeros((B, MEL), jnp.float32)
+    stopped0 = jnp.zeros((B,), bool)
+    lengths0 = jnp.zeros((B,), jnp.int32)
+    carry1, prev1, stopped1, lengths1, *_ = _run_ref_bf16(
+        setup, carry0, prev0, jnp.int32(0), stopped0, lengths0)
+
+    ref = _run_ref_bf16(setup, carry1, prev1, jnp.int32(K), stopped1,
+                        lengths1)
+    got = _run_pallas_bf16(setup, carry1, prev1, jnp.int32(K), stopped1,
+                           lengths1)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-3, rtol=5e-3,
+        )
+
+    gstop = _run_pallas_bf16(setup, carry0, prev0, jnp.int32(0), stopped0,
+                             lengths0, threshold=-1.0)
+    rstop = _run_ref_bf16(setup, carry0, prev0, jnp.int32(0), stopped0,
+                          lengths0, threshold=-1.0)
+    np.testing.assert_array_equal(np.asarray(gstop[2]), np.asarray(rstop[2]))
+    np.testing.assert_array_equal(np.asarray(gstop[3]), np.asarray(rstop[3]))

@@ -98,17 +98,22 @@ def main() -> None:
         return run
 
     bundle = dkp.prepare_bundle(cellp, prenet_ws, frame_w, stop_w, MEL, R)
+    bundle_bf16 = dkp.prepare_bundle(
+        cellp, prenet_ws, frame_w, stop_w, MEL, R, quantize=False)
 
-    def pallas_segment(keys_, mem_, mask_, carry_, prev_, t0_, stopped_,
-                       lengths_, K_, th_, rng_):
-        return dkp.decoder_ar_segment_pallas(
-            bundle, keys_, mem_, mask_, carry_, prev_, t0_, stopped_,
-            lengths_, K_, th_, rng_, MEL, R, prenet_dropout=DROP)
+    def segment_of(b):
+        def pallas_segment(keys_, mem_, mask_, carry_, prev_, t0_,
+                           stopped_, lengths_, K_, th_, rng_):
+            return dkp.decoder_ar_segment_pallas(
+                b, keys_, mem_, mask_, carry_, prev_, t0_, stopped_,
+                lengths_, K_, th_, rng_, MEL, R, prenet_dropout=DROP)
+        return pallas_segment
 
     variants = {
         "xla_bf16": early_exit_run(None, None),
         "xla_int8": early_exit_run(dscan.quantize_fused(cellp), None),
-        "pallas_int8": early_exit_run(None, pallas_segment),
+        "pallas_int8": early_exit_run(None, segment_of(bundle)),
+        "pallas_bf16": early_exit_run(None, segment_of(bundle_bf16)),
     }
     for name, run in variants.items():
         t0 = time.perf_counter()
